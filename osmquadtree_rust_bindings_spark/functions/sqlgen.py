@@ -1,0 +1,154 @@
+"""SQL fragments valid in BOTH Spark SQL and DuckDB.
+
+One source of truth for the scalar quadtree math, so the Spark engine
+(via ``F.expr``) and the DuckDB correctness oracle execute literally the
+same formula text — no engine/oracle drift possible.  Verified operator
+parity: ``<< >> & |`` on BIGINT, ``ln/tan/pi/radians/floor/least/greatest``
+give bit-identical doubles on this container.
+
+Mirrors kernels.py (the numpy oracle); normative spec is SURVEY.md §8.
+"""
+
+from __future__ import annotations
+
+COORD_SCALE = 10_000_000
+MAX_DEPTH = 18
+BUF_DEN = 20
+UNITS = 2 * BUF_DEN * (1 << MAX_DEPTH)
+
+_SPREAD_STEPS = (
+    (16, 0x0000FFFF0000FFFF),
+    (8, 0x00FF00FF00FF00FF),
+    (4, 0x0F0F0F0F0F0F0F0F),
+    (2, 0x3333333333333333),
+    (1, 0x5555555555555555),
+)
+
+
+def x_norm(lon: str) -> str:
+    """int 1e-7 deg lon → normalized x in [0,1)."""
+    return f"((({lon}) / 10000000.0 + 180.0) / 360.0)"
+
+
+def y_norm(lat: str) -> str:
+    """int 1e-7 deg lat → normalized mercator y in [0,1)."""
+    return (
+        f"((ln(tan(pi() / 4 + (({lat}) / 10000000.0) * (pi() / 180) / 2)) / pi()"
+        f" + 1.0) / 2.0)"
+    )
+
+
+def grid_index(norm: str, depth: int) -> str:
+    """normalized coord → clipped cell index at ``depth`` (BIGINT)."""
+    n = 1 << depth
+    return (
+        f"least(greatest(cast(floor(({norm}) * {n}.0) as bigint), 0), {n - 1})"
+    )
+
+
+def units(norm: str) -> str:
+    """normalized coord → integer descent units (BIGINT), clipped."""
+    return (
+        f"least(greatest(cast(floor(({norm}) * {UNITS}.0) as bigint), 0),"
+        f" {UNITS - 1})"
+    )
+
+
+def spread_step(e: str, shift: int, mask: int) -> str:
+    return f"((({e}) | (({e}) << {shift})) & {mask})"
+
+
+def spread(e: str) -> str:
+    """Full 5-step bit spread.  WARNING: duplicates ``e`` 2^5 times — only
+    pass a bare column reference, never a computed expression (bind computed
+    values in a prior SELECT/CTE stage first)."""
+    for shift, mask in _SPREAD_STEPS:
+        e = spread_step(e, shift, mask)
+    return e
+
+
+def qt_from_cells(ix: str, iy: str, depth: int) -> str:
+    """cell indices (bare column refs!) at fixed ``depth`` → qt key."""
+    return (
+        f"(((({spread(ix)}) << 1) | ({spread(iy)})) << {63 - 2 * depth}"
+        f" | {depth})"
+    )
+
+
+def qt_round(qt: str, nd: int) -> str:
+    """Truncate key to depth nd (assumes depth(qt) >= nd)."""
+    mask = -(1 << (63 - 2 * nd)) if nd > 0 else 0
+    return f"((({qt}) & {mask}) | {nd})"
+
+
+def qt_depth(qt: str) -> str:
+    return f"(({qt}) & 31)"
+
+
+def qt_key_range(qt_int: int) -> tuple[int, int]:
+    """Python-side: inclusive (lo, hi) i64 range for a literal qt prefix —
+    emit as ``qt BETWEEN lo AND hi`` so partition pruning fires."""
+    d = qt_int & 31
+    span = (1 << (63 - 2 * d)) - 1
+    return qt_int, qt_int | span
+
+
+def point_qt_sql(table: str, key: str, lon: str, lat: str,
+                 depth: int = MAX_DEPTH, out: str = "qt") -> str:
+    """Self-contained SELECT computing the point qt for every row of
+    ``table`` — same text runs on Spark and DuckDB."""
+    return f"""
+SELECT {key}, {qt_from_cells('__ix', '__iy', depth)} AS {out}
+FROM (
+  SELECT {key},
+         {grid_index(x_norm(lon), depth)} AS __ix,
+         {grid_index(y_norm(lat), depth)} AS __iy
+  FROM {table}
+)"""
+
+
+def bbox_qt_sql(table: str, key: str, minlon: str, minlat: str,
+                maxlon: str, maxlat: str, max_depth: int = MAX_DEPTH,
+                out: str = "qt") -> str:
+    """Buffered-bbox calc_qts as a recursive CTE (integer descent, exact
+    0.05 buffer).  DuckDB-oracle side; the Spark engine uses the unrolled
+    Column loop in functions.quadtree (same integer semantics)."""
+    return f"""
+WITH RECURSIVE __box AS (
+  SELECT {key},
+         {units(x_norm(minlon))} AS x0, {units(x_norm(maxlon))} AS x1,
+         {units(y_norm(minlat))} AS y0, {units(y_norm(maxlat))} AS y1
+  FROM {table}
+), __d AS (
+  SELECT {key}, x0, x1, y0, y1,
+         (x0 + x1) >> 1 AS mx, (y0 + y1) >> 1 AS my,
+         0 AS depth, TRUE AS alive
+  FROM __box
+  UNION ALL
+  SELECT {key}, x0, x1, y0, y1, mx, my, depth + 1,
+         alive AND depth < {max_depth}
+           AND x0 >= ((mx // ({UNITS} >> (depth + 1))) * ({UNITS} >> (depth + 1))
+                      - (({UNITS} >> (depth + 1)) // {BUF_DEN}))
+           AND x1 <= ((mx // ({UNITS} >> (depth + 1))) * ({UNITS} >> (depth + 1))
+                      + ({UNITS} >> (depth + 1))
+                      + (({UNITS} >> (depth + 1)) // {BUF_DEN}))
+           AND y0 >= ((my // ({UNITS} >> (depth + 1))) * ({UNITS} >> (depth + 1))
+                      - (({UNITS} >> (depth + 1)) // {BUF_DEN}))
+           AND y1 <= ((my // ({UNITS} >> (depth + 1))) * ({UNITS} >> (depth + 1))
+                      + ({UNITS} >> (depth + 1))
+                      + (({UNITS} >> (depth + 1)) // {BUF_DEN}))
+  FROM __d WHERE alive AND depth <= {max_depth}
+), __best AS (
+  SELECT {key}, max(CASE WHEN alive THEN depth END) AS fd,
+         max(mx) AS mx, max(my) AS my
+  FROM __d GROUP BY {key}
+), __cells AS (
+  SELECT {key}, fd,
+         mx // ({UNITS} >> fd) AS __ix,
+         my // ({UNITS} >> fd) AS __iy
+  FROM __best
+)
+SELECT {key},
+       (((({spread('__ix')}) << 1) | ({spread('__iy')})) << (63 - 2 * fd) | fd)
+       AS {out}
+FROM __cells"""

@@ -32,7 +32,7 @@ QT_BUFFER = 0.05
 # a 0.05 (=1/20) buffer of any cell size and any midpoint halving are exact
 # integers (no float compare in the descent loop).
 BUF_DEN = 20
-UNITS = 2 * BUF_DEN * (1 << MAX_DEPTH)  # 10_485_760 * 2
+UNITS = 2 * BUF_DEN * (1 << MAX_DEPTH)  # 10_485_760 units across each axis
 
 EMPTY = np.int64(-1)
 
