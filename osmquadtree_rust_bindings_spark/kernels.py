@@ -156,8 +156,8 @@ def qt_is_parent(parent, child):
 
 def qt_common(a, b):
     """Lowest common ancestor of two qt keys; empty propagates the other."""
-    a = np.asarray(a).astype(np.int64)
-    b = np.asarray(b).astype(np.int64)
+    a = np.atleast_1d(np.asarray(a)).astype(np.int64)
+    b = np.atleast_1d(np.asarray(b)).astype(np.int64)
     da = (a & np.int64(31)).astype(np.int64)
     db = (b & np.int64(31)).astype(np.int64)
     dmin = np.minimum(da, db)

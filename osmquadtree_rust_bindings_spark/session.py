@@ -1,0 +1,66 @@
+"""SparkSession builder with package shipping.
+
+``get_spark`` zips this package and registers it via ``addPyFile`` so
+executor python workers can import the kernels regardless of where the
+driver script lives — the local-mode equivalent of
+``spark-submit --py-files engine.zip`` (north-rule deployment shape).
+``build_pyfiles_zip`` is also used by jobs/ entrypoints to produce the
+artifact for a real cluster submit.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import zipfile
+
+from pyspark.sql import SparkSession
+
+_PKG_ROOT = os.path.dirname(os.path.abspath(__file__))
+_PKG_NAME = os.path.basename(_PKG_ROOT)
+
+
+def build_pyfiles_zip(out_path: str | None = None) -> str:
+    """Zip the package for --py-files / addPyFile."""
+    if out_path is None:
+        out_path = os.path.join(tempfile.gettempdir(),
+                                f"{_PKG_NAME}-pyfiles.zip")
+    with zipfile.ZipFile(out_path, "w", zipfile.ZIP_DEFLATED) as zf:
+        for root, _dirs, files in os.walk(_PKG_ROOT):
+            for f in files:
+                if not f.endswith(".py"):
+                    continue
+                full = os.path.join(root, f)
+                rel = os.path.join(_PKG_NAME,
+                                   os.path.relpath(full, _PKG_ROOT))
+                zf.write(full, rel)
+    return out_path
+
+
+def get_spark(master: str | None = None, app_name: str = "osmquadtree-spark",
+              shuffle_partitions: int | None = None,
+              extra_conf: dict | None = None,
+              ship_package: bool = True) -> SparkSession:
+    """Session tuned for the engine: AQE on (runtime skew-join + coalesce),
+    Arrow on (all kernels are Arrow-batched), package shipped to executors.
+    """
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+        master = f"local[{cpus}]"
+    b = (
+        SparkSession.builder.master(master).appName(app_name)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
+        .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
+        .config("spark.ui.enabled", "false")
+    )
+    if shuffle_partitions is not None:
+        b = b.config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    for k, v in (extra_conf or {}).items():
+        b = b.config(k, v)
+    spark = b.getOrCreate()
+    if ship_package:
+        spark.sparkContext.addPyFile(build_pyfiles_zip())
+    return spark

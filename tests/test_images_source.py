@@ -1,0 +1,83 @@
+"""T2: synthetic image source + codec + payload invariants (FIXTURES.md §1/§5)."""
+
+import numpy as np
+import pytest
+
+from osmquadtree_rust_bindings_spark.operators import images as OPI
+from osmquadtree_rust_bindings_spark.sources import images as I
+
+
+def test_codec_roundtrip_lossless():
+    pix = I.gen_pixels(7, 32, 16)
+    assert pix.shape == (16, 32, 3)
+    back = I.decode_image(I.encode_image(pix, "png"))
+    assert np.array_equal(pix, back)
+
+
+def test_codec_lossy_psnr():
+    pix = I.gen_pixels(11, 64, 64)
+    back = I.decode_image(I.encode_image(pix, "jpeg"))
+    p = I.psnr(pix, back)
+    assert p >= 40.0, p
+    assert not np.array_equal(pix, back)  # actually lossy
+
+
+def test_pdf_generator_deterministic():
+    a = I.make_images_pdf(10, 20)
+    b = I.make_images_pdf(10, 20)
+    assert a.equals(b)
+    assert a.image_id.tolist()[0] == "img000000000010"
+    assert set(a.fmt) <= {"png", "jpeg"}
+    assert I.phash_of("img000000000010") == a.phash.iloc[0]
+
+
+def test_generator_batch_boundary_invariance():
+    whole = I.make_images_pdf(0, 50)
+    parts = I.make_images_pdf(0, 17), I.make_images_pdf(17, 50)
+    import pandas as pd
+    joined = pd.concat(parts, ignore_index=True)
+    assert whole.equals(joined)
+
+
+def test_spark_generation_and_payload_invariant(spark):
+    df = I.generate_images(spark, 200, num_partitions=4)
+    assert df.count() == 200
+    res = OPI.verify_payload(df).toPandas()
+    assert res.pixels_ok.all()
+    assert res.caption_ok.all()
+    assert (res.psnr[res.psnr < 1e9] >= 40).all()
+
+
+def test_decode_features(spark):
+    df = I.generate_images(spark, 50, num_partitions=2)
+    feats = OPI.decode_features(df).toPandas()
+    assert len(feats) == 50
+    # mean color matches a local decode for one row
+    row = feats[feats.image_id == "img000000000003"].iloc[0]
+    pix = I.gen_pixels(3, int(row.w), int(row.h))
+    src = I.make_images_pdf(3, 4)
+    got = I.decode_image(src.bytes.iloc[0])
+    assert abs(got.reshape(-1, 3).mean(axis=0)[0] - row.mean_r) < 3.0
+
+
+def test_resize(spark):
+    df = I.generate_images(spark, 10, num_partitions=1)
+    out = OPI.resize_nearest(df, 8, 8).toPandas()
+    assert (out.w == 8).all()
+    for b in out.bytes:
+        assert I.decode_image(b).shape == (8, 8, 3)
+
+
+def test_video_stub_raises(spark):
+    df = I.generate_images(spark, 2, num_partitions=1)
+    with pytest.raises(Exception):
+        OPI.sample_video_frames(df).collect()
+
+
+def test_skewed_lonlat_hotspots():
+    ph = I.make_images_pdf(0, 5000, with_bytes=False).phash.to_numpy(np.int64)
+    lon, lat = I.skewed_lonlat(ph)
+    from osmquadtree_rust_bindings_spark import kernels as K
+    hot = np.abs(lon - I.HOTSPOTS[0][0]) < 2_000_000
+    assert hot.sum() > 100  # a real cluster forms
+    assert lon.min() >= -1_800_000_000 and lat.max() < 850_000_000
