@@ -1,38 +1,67 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry()      — flagship: calc_qts point-key assignment + depth-10 tile
+               counts over derived points at sf0.001 (the reference's
+               run_calcqts → sort_blocks chain, SURVEY.md §2.7/§3.3).
+queries()    — one entry per implemented SURVEY.md §2 operator.
+oracle_sql() — DuckDB twins (driver_oracles.py); engine-only ops (driver-
+               side tile planning, float-scored cosine) omit the oracle on
+               purpose → rows-only check.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from pyspark.sql import DataFrame, SparkSession
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    from osmquadtree_rust_bindings_spark import driver_queries as DQ
+
+    return DQ.q_s14_tile_counts(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from osmquadtree_rust_bindings_spark import driver_queries as DQ
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "a1_count_fingerprint": DQ.q_a1_count_fingerprint,
+        "a5_count_by_group": DQ.q_a5_count_by_group,
+        "a2_refs_stats": DQ.q_a2_refs_stats,
+        "x7_time_rollup": DQ.q_x7_time_rollup,
+        "j3_merge_latest": DQ.q_j3_merge_latest,
+        "j5_apply_changes": DQ.q_j5_apply_changes,
+        "j6_diff_summary": DQ.q_j6_diff_summary,
+        "j1_semi_join_cascade": DQ.q_j1_semi_join_cascade,
+        "x1_point_qt": DQ.q_x1_point_qt,
+        "x2_bbox_qt_depth_hist": DQ.q_x2_bbox_qt_depth_hist,
+        "s14_tile_counts": DQ.q_s14_tile_counts,
+        "a10_tile_plan": DQ.q_a10_tile_plan,
+        "j11_bbox_join": DQ.q_j11_bbox_join,
+        "j9_pip_join": DQ.q_j9_pip_join,
+        "j10_knn_join": DQ.q_j10_knn_join,
+        "j12_raster_vector": DQ.q_j12_raster_vector,
+        "f8_idset_semi_join": DQ.q_f8_idset_semi_join,
+        "dedup_exact": DQ.q_dedup_exact,
+        "dedup_ngram_jaccard": DQ.q_dedup_ngram_jaccard,
+        "dedup_minhash_lsh": DQ.q_dedup_minhash_lsh,
+        "dedup_simhash": DQ.q_dedup_simhash,
+        "text_quality": DQ.q_text_quality,
+        "text_langid": DQ.q_text_langid,
+        "text_fingerprint": DQ.q_text_fingerprint,
+        "ann_l2_topk": DQ.q_ann_l2_topk,
+        "ann_lsh_bucket_hist": DQ.q_ann_lsh_bucket_hist,
+        "ann_cosine_topk": DQ.q_ann_cosine_topk,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from osmquadtree_rust_bindings_spark import driver_oracles as DO
+
+    return DO.oracle_sql()

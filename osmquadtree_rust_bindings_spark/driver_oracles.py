@@ -1,0 +1,350 @@
+"""DuckDB oracle SQL for every driver-contract query in driver_queries.py.
+
+Each statement is self-contained ANSI-ish SQL over the pre-registered views
+(region nation customer supplier part orders lineitem events documents
+embeddings) and reimplements the PINNED semantics independently (different
+formulation, same spec) so engine bugs can't hide in shared code — except
+the coordinate/qt scalar math, which intentionally shares literal formula
+text with the engine via functions.sqlgen (that's the contract: identical
+keys, bit for bit).
+"""
+
+from __future__ import annotations
+
+from osmquadtree_rust_bindings_spark import driver_queries as DQ
+from osmquadtree_rust_bindings_spark.functions import sqlgen
+from osmquadtree_rust_bindings_spark.operators.dedup import (
+    MERSENNE_P,
+    _hash_params,
+)
+from osmquadtree_rust_bindings_spark.operators.text import (
+    BPE_PATTERN,
+    LANG_PRIORITY,
+    STOPWORDS,
+)
+
+PTS = f"({DQ.PTS_SQL})"
+DUCK_WORD_HASH = "cast(('0x' || substring(md5({col}),1,15)) as bigint)"
+MASK10 = -(1 << (63 - 2 * 10))
+MASK7 = -(1 << (63 - 2 * 7))
+HAV_K = "(pi() / 180 / 10000000.0)"
+
+
+def _point_qt_sub() -> str:
+    return f"({sqlgen.point_qt_sql(PTS, 'rowkey', 'lon', 'lat', 18)})"
+
+
+def _values(pdf, cols) -> str:
+    rows = ", ".join(
+        "(" + ", ".join(str(int(r[c])) for c in cols) + ")"
+        for _, r in pdf.iterrows())
+    return f"(VALUES {rows})"
+
+
+def oracle_sql() -> dict[str, str]:
+    o: dict[str, str] = {}
+
+    o["a1_count_fingerprint"] = f"""
+SELECT cast(count(*) as bigint) AS num,
+       min(rowkey) AS min_id, max(rowkey) AS max_id,
+       min(lon) AS min_lon, max(lon) AS max_lon,
+       min(lat) AS min_lat, max(lat) AS max_lat
+FROM {PTS}"""
+
+    o["a5_count_by_group"] = """
+SELECT event_type, cast(count(*) as bigint) AS num,
+       cast(min(event_id) as bigint) AS min_id,
+       cast(max(event_id) as bigint) AS max_id
+FROM events GROUP BY event_type"""
+
+    o["a2_refs_stats"] = """
+SELECT cast(count(*) as bigint) AS num,
+       cast(sum(len(refs)) as bigint) AS num_refs,
+       cast(max(len(refs)) as bigint) AS max_refs_len,
+       cast(min(list_min(refs)) as bigint) AS min_ref,
+       cast(max(list_max(refs)) as bigint) AS max_ref
+FROM (SELECT l_orderkey, list(l_linenumber) AS refs
+      FROM lineitem GROUP BY l_orderkey)"""
+
+    o["x7_time_rollup"] = """
+SELECT cast(year(ts) * 100 + month(ts) as bigint) AS ym,
+       cast(count(*) as bigint) AS num,
+       cast(min(event_id) as bigint) AS min_id
+FROM events GROUP BY 1"""
+
+    o["j3_merge_latest"] = """
+SELECT cast(o_orderkey as bigint) AS o_orderkey,
+       cast(max(version) as bigint) AS src
+FROM (SELECT o_orderkey, 0 AS version FROM orders
+      UNION ALL
+      SELECT o_orderkey, 1 AS version FROM orders WHERE o_orderkey % 5 = 0)
+GROUP BY o_orderkey"""
+
+    o["j5_apply_changes"] = """
+SELECT cast(o_orderkey as bigint) AS o_orderkey,
+       CASE WHEN o_orderkey % 7 = 0 AND o_orderkey % 2 <> 0
+            THEN 'X-PRIORITY' ELSE o_orderpriority END AS o_orderpriority
+FROM orders
+WHERE NOT (o_orderkey % 7 = 0 AND o_orderkey % 2 = 0)"""
+
+    o["j6_diff_summary"] = """
+WITH l AS (SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders),
+r AS (SELECT o_orderkey,
+             CASE WHEN o_orderkey % 11 = 0 THEN o_totalprice + 1
+                  ELSE o_totalprice END AS o_totalprice,
+             o_orderstatus
+      FROM orders WHERE o_orderkey % 3 <> 0)
+SELECT diff_class, cast(count(*) as bigint) AS num FROM (
+  SELECT CASE WHEN r.o_orderkey IS NULL THEN 'only_left'
+              WHEN l.o_orderkey IS NULL THEN 'only_right'
+              WHEN l.o_totalprice IS DISTINCT FROM r.o_totalprice
+                   THEN 'different_o_totalprice'
+              WHEN l.o_orderstatus IS DISTINCT FROM r.o_orderstatus
+                   THEN 'different_o_orderstatus'
+              ELSE 'same' END AS diff_class
+  FROM l FULL OUTER JOIN r ON l.o_orderkey = r.o_orderkey)
+GROUP BY diff_class"""
+
+    x0, y0, x1, y1 = DQ.BBOX_LIT
+    o["j1_semi_join_cascade"] = f"""
+SELECT DISTINCT cast(o_orderkey as bigint) AS o_orderkey
+FROM orders WHERE o_custkey IN (
+  SELECT c_custkey FROM (
+    SELECT c_custkey, {DQ.CUST_LON} AS lon, {DQ.CUST_LAT} AS lat
+    FROM customer)
+  WHERE lon >= {x0} AND lon <= {x1} AND lat >= {y0} AND lat <= {y1})"""
+
+    o["x1_point_qt"] = sqlgen.point_qt_sql(PTS, "rowkey", "lon", "lat", 18)
+
+    boxes = f"""(SELECT rowkey,
+  lon - halfw AS minlon, lat - halfh AS minlat,
+  lon + halfw AS maxlon, lat + halfh AS maxlat FROM {PTS})"""
+    o["x2_bbox_qt_depth_hist"] = f"""
+SELECT cast(qt & 31 as bigint) AS depth, cast(count(*) as bigint) AS num
+FROM ({sqlgen.bbox_qt_sql(boxes, 'rowkey', 'minlon', 'minlat',
+                          'maxlon', 'maxlat')})
+GROUP BY 1"""
+
+    o["s14_tile_counts"] = f"""
+SELECT ((qt & {MASK10}) | 10) AS tile, cast(count(*) as bigint) AS num
+FROM {_point_qt_sub()} GROUP BY 1"""
+
+    o["j12_raster_vector"] = f"""
+SELECT DISTINCT ((qt & {MASK10}) | 10) AS qt_raster,
+                ((qt & {MASK7}) | 7) AS cell
+FROM {_point_qt_sub()}"""
+
+    qb = _values(DQ._bbox_queries(),
+                 ["qid", "minlon", "minlat", "maxlon", "maxlat"])
+    o["j11_bbox_join"] = f"""
+SELECT cast(q.qid as bigint) AS qid, cast(p.rowkey as bigint) AS rowkey
+FROM {PTS} p, {qb} q(qid, minlon, minlat, maxlon, maxlat)
+WHERE p.lon >= q.minlon AND p.lon <= q.maxlon
+  AND p.lat >= q.minlat AND p.lat <= q.maxlat"""
+
+    # PIP: convex CCW polygons -> strict half-plane conjunction (double math)
+    parts = []
+    for r in DQ._polygons().itertuples(index=False):
+        vx, vy = list(r.verts_lon), list(r.verts_lat)
+        conds = []
+        nv = len(vx)
+        for i in range(nv):
+            x1_, y1_ = vx[i], vy[i]
+            x2_, y2_ = vx[(i + 1) % nv], vy[(i + 1) % nv]
+            conds.append(
+                f"(cast({x2_ - x1_} as double) * cast(p.lat - {y1_} as double)"
+                f" - cast({y2_ - y1_} as double) * cast(p.lon - {x1_} as double)) > 0")
+        parts.append(
+            f"SELECT '{r.poly_id}' AS poly_id, cast(p.rowkey as bigint) AS rowkey "
+            f"FROM {PTS} p WHERE " + " AND ".join(conds))
+    o["j9_pip_join"] = "\nUNION ALL\n".join(parts)
+
+    kq = _values(DQ._knn_queries(), ["qid", "lon", "lat", "k"])
+    o["j10_knn_join"] = f"""
+WITH d AS (
+  SELECT q.qid, p.rowkey, q.k,
+         2 * 6371000.0 * asin(sqrt(least(
+           pow(sin((p.lat - q.qlat) * {HAV_K} / 2), 2)
+           + cos(q.qlat * {HAV_K}) * cos(p.lat * {HAV_K})
+             * pow(sin((p.lon - q.qlon) * {HAV_K} / 2), 2), 1.0))) AS dist
+  FROM {PTS} p, {kq} q(qid, qlon, qlat, k))
+SELECT cast(qid as bigint) AS qid, cast(rank as bigint) AS rank,
+       cast(rowkey as bigint) AS rowkey
+FROM (SELECT qid, rowkey, k,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY dist ASC, rowkey ASC) AS rank
+      FROM d)
+WHERE rank <= k"""
+
+    o["f8_idset_semi_join"] = """
+SELECT cast(user_id as bigint) AS user_id,
+       cast(count(*) as bigint) AS n,
+       cast(min(event_id) as bigint) AS min_id
+FROM events
+WHERE user_id IN (SELECT user_id FROM events
+                  GROUP BY user_id HAVING count(*) >= 5)
+GROUP BY user_id"""
+
+    o["dedup_exact"] = """
+SELECT md5(text) AS content_md5,
+       cast(min(doc_id) as bigint) AS keep_id,
+       cast(count(*) as bigint) AS dups
+FROM documents GROUP BY 1"""
+
+    shingle_cte = """
+WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+sh AS (SELECT doc_id,
+              unnest(list_distinct(list_transform(
+                  range(1, len(w)), i -> w[i] || ' ' || w[i+1]))) AS shingle
+       FROM ws),
+sizes AS (SELECT doc_id, cast(count(*) as bigint) AS nsh
+          FROM sh GROUP BY doc_id)"""
+
+    o["dedup_ngram_jaccard"] = shingle_cte + """,
+inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                 cast(count(*) as bigint) AS inter
+          FROM sh a JOIN sh b USING (shingle)
+          WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+SELECT cast(id_a as bigint) AS id_a, cast(id_b as bigint) AS id_b,
+       inter, (sa.nsh + sb.nsh - inter) AS union_sz
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE inter * 1000 >= 200 * (sa.nsh + sb.nsh - inter)"""
+
+    # minhash: replay signatures + banding + verification in SQL
+    params = _hash_params(8)
+    mh_cols = ", ".join(
+        f"min((((h % 2147483647) * {a}) + {b}) % {MERSENNE_P}) AS mh{i}"
+        for i, (a, b) in enumerate(params))
+    band_keys = []
+    rows_per_band = 8 // 4
+    for b in range(4):
+        cols = [f"mh{b * rows_per_band + r}" for r in range(rows_per_band)]
+        concat = " || '_' || ".join(f"cast({c} as varchar)" for c in cols)
+        band_keys.append(f"SELECT doc_id, '{b}' || '_' || {concat} AS bucket "
+                         f"FROM sig")
+    o["dedup_minhash_lsh"] = shingle_cte + f""",
+hashed AS (SELECT doc_id, {DUCK_WORD_HASH.format(col='shingle')} AS h FROM sh),
+sig AS (SELECT doc_id, {mh_cols} FROM hashed GROUP BY doc_id),
+buckets AS ({' UNION ALL '.join(band_keys)}),
+cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         FROM buckets a JOIN buckets b USING (bucket)
+         WHERE a.doc_id < b.doc_id),
+inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                 cast(count(*) as bigint) AS inter
+          FROM sh a JOIN sh b USING (shingle)
+          WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+SELECT cast(c.id_a as bigint) AS id_a, cast(c.id_b as bigint) AS id_b,
+       i.inter, (sa.nsh + sb.nsh - i.inter) AS union_sz
+FROM cand c
+JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
+JOIN sizes sa ON sa.doc_id = c.id_a
+JOIN sizes sb ON sb.doc_id = c.id_b
+WHERE i.inter * 1000 >= 200 * (sa.nsh + sb.nsh - i.inter)"""
+
+    sums = ", ".join(
+        f"sum((((h >> {b}) & 1) * 2 - 1)) AS s{b}" for b in range(16))
+    packs = " + ".join(
+        f"CASE WHEN s{b} > 0 THEN {1 << b} ELSE 0 END" for b in range(16))
+    o["dedup_simhash"] = f"""
+WITH words AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+               FROM documents),
+hashed AS (SELECT doc_id, {DUCK_WORD_HASH.format(col='w')} AS h FROM words),
+sums AS (SELECT doc_id, {sums} FROM hashed GROUP BY doc_id)
+SELECT cast(doc_id as bigint) AS doc_id,
+       cast({packs} as bigint) AS simhash
+FROM sums"""
+
+    def stop_list(lang):
+        return "[" + ", ".join(f"'{w}'" for w in STOPWORDS[lang]) + "]"
+
+    def hits(lang):
+        return (f"len(list_intersect(list_distinct(string_split(text, ' ')), "
+                f"{stop_list(lang)}))")
+
+    stop_greatest = "greatest(" + ", ".join(
+        hits(lang) for lang in LANG_PRIORITY) + ")"
+    o["text_quality"] = f"""
+SELECT cast(doc_id as bigint) AS doc_id,
+       cast(len(string_split(text, ' ')) as bigint) AS n_ws_tokens,
+       cast(len(regexp_extract_all(text, '{BPE_PATTERN}', 0)) as bigint)
+         AS n_bpe_tokens,
+       cast({stop_greatest} as bigint) AS stop_hits,
+       cast(len(regexp_extract_all(text, '{BPE_PATTERN}', 0))
+            - len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+', 0)) as bigint)
+         AS n_symbols,
+       (len(string_split(text, ' ')) >= 5
+        AND len(string_split(text, ' ')) <= 100000
+        AND {stop_greatest} >= 1
+        AND (len(regexp_extract_all(text, '{BPE_PATTERN}', 0))
+             - len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+', 0))) * 10
+            <= len(regexp_extract_all(text, '{BPE_PATTERN}', 0)) * 3)
+         AS is_quality
+FROM documents"""
+
+    h_en, h_es, h_fr = (hits(lang) for lang in LANG_PRIORITY)
+    o["text_langid"] = f"""
+SELECT cast(doc_id as bigint) AS doc_id,
+       CASE WHEN {h_en} >= {h_es} AND {h_en} >= {h_fr} AND {h_en} > 0
+            THEN 'en'
+            WHEN {h_es} >= {h_fr} AND {h_es} > 0 THEN 'es'
+            WHEN {h_fr} > 0 THEN 'fr'
+            ELSE 'und' END AS lang_pred
+FROM documents"""
+
+    o["text_fingerprint"] = f"""
+WITH RECURSIVE ws AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+expl AS (SELECT doc_id, len(w) AS n, unnest(w) AS word,
+                unnest(range(1, len(w) + 1)) AS pos
+         FROM ws),
+pows(e, v) AS (
+  SELECT 0, cast(1 as bigint)
+  UNION ALL
+  SELECT e + 1, (v * 31) % 2147483647 FROM pows
+  WHERE e < (SELECT max(n) FROM expl)),
+terms AS (SELECT doc_id,
+                 (({DUCK_WORD_HASH.format(col='word')} % 2147483647)
+                  * p.v) % 2147483647 AS term
+          FROM expl JOIN pows p ON p.e = expl.n - expl.pos)
+SELECT cast(doc_id as bigint) AS doc_id,
+       cast(sum(term) % 2147483647 as bigint) AS fingerprint
+FROM terms GROUP BY doc_id"""
+
+    o["ann_l2_topk"] = """
+WITH e AS (SELECT vec_id, list_transform(embedding,
+             x -> cast(floor(cast(x as double) * 1000) as bigint)) AS v
+           FROM embeddings),
+q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 5),
+scored AS (SELECT q.qid, e.vec_id,
+                  cast(list_sum(list_transform(range(1, len(e.v) + 1),
+                       i -> (e.v[i] - q.qv[i]) * (e.v[i] - q.qv[i])))
+                       as bigint) AS dist2
+           FROM e CROSS JOIN q)
+SELECT cast(qid as bigint) AS qid, cast(rank as bigint) AS rank,
+       cast(vec_id as bigint) AS vec_id, dist2
+FROM (SELECT qid, vec_id, dist2,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY dist2 ASC, vec_id ASC) AS rank
+      FROM scored)
+WHERE rank <= 10"""
+
+    dots = []
+    for j in range(8):
+        coeff = (f"((({j} * 31 + (i - 1) * 17 + ({j} * (i - 1)) % 11) % 7)"
+                 f" - 3)")
+        dots.append(
+            f"CASE WHEN list_sum(list_transform(range(1, len(v) + 1), "
+            f"i -> v[i] * {coeff})) > 0 THEN {1 << j} ELSE 0 END")
+    o["ann_lsh_bucket_hist"] = f"""
+WITH e AS (SELECT vec_id, list_transform(embedding,
+             x -> cast(floor(cast(x as double) * 1000) as bigint)) AS v
+           FROM embeddings),
+b AS (SELECT vec_id, ({' + '.join(dots)}) AS bucket FROM e)
+SELECT cast(bucket as bigint) AS bucket,
+       cast(count(*) as bigint) AS num,
+       cast(min(vec_id) as bigint) AS min_id
+FROM b GROUP BY bucket"""
+
+    return o

@@ -1,0 +1,387 @@
+"""Driver-contract queries: one entry per SURVEY.md §2 operator, each with a
+DuckDB-oracle SQL twin.
+
+Conventions that make the driver's hash compare exact:
+- outputs carry only ints / strings (no raw floats — float sums reorder
+  under Spark partial aggregation and differ from DuckDB by ulps);
+- every numeric output column is cast to bigint on BOTH sides;
+- all aggregates/computed columns are aliased identically on both sides;
+- coordinate / qt math shares literal formula text via functions.sqlgen.
+
+The synthetic geometry: the generic TPC-H tables carry no coordinates, so
+spatial queries derive deterministic int-1e-7-degree points from row keys
+with pure integer arithmetic (identical in both engines), mirroring the
+phash->lonlat derivation of FIXTURES.md §1.1.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from osmquadtree_rust_bindings_spark.functions import quadtree as Q
+from osmquadtree_rust_bindings_spark.functions import sqlgen
+from osmquadtree_rust_bindings_spark.operators import count as CNT
+from osmquadtree_rust_bindings_spark.operators import dedup as DD
+from osmquadtree_rust_bindings_spark.operators import diff as DIFF
+from osmquadtree_rust_bindings_spark.operators import similarity as SIM
+from osmquadtree_rust_bindings_spark.operators import spatial_join as SJ
+from osmquadtree_rust_bindings_spark.operators import text as TX
+from osmquadtree_rust_bindings_spark.operators import tiling as TIL
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+# ---------------------------------------------------------------- derived pts
+
+# identical formula text for Spark selectExpr and DuckDB (floor then cast:
+# duckdb's cast(double as bigint) ROUNDS, spark truncates — floor avoids both)
+ROWKEY = "(l_orderkey * 8 + l_linenumber)"
+LON = ("cast(floor((({rk} * 2654435761) % 4294967296) / 4294967296.0 "
+       "* 3600000000) as bigint) - 1800000000").format(rk=ROWKEY)
+LAT = ("cast(floor((({rk} * 40503 + 2654435769) % 4294967296) / 4294967296.0 "
+       "* 1700000000) as bigint) - 850000000").format(rk=ROWKEY)
+# footprint half-sizes (int 1e-7 deg), like w/h * ground_res / 2
+HALFW = f"(({ROWKEY} % 97 + 1) * 80000)"
+HALFH = f"(({ROWKEY} % 53 + 1) * 80000)"
+
+# DISTINCT: the driver's lineitem contains duplicate (orderkey, linenumber)
+# rows; all derived columns are functions of rowkey, so this dedups rowkey.
+PTS_SQL = (f"SELECT DISTINCT {ROWKEY} AS rowkey, {LON} AS lon, {LAT} AS lat, "
+           f"{HALFW} AS halfw, {HALFH} AS halfh FROM lineitem")
+
+CUST_LON = ("cast(floor(((c_custkey * 2654435761) % 4294967296) "
+            "/ 4294967296.0 * 3600000000) as bigint) - 1800000000")
+CUST_LAT = ("cast(floor(((c_custkey * 40503 + 2654435769) % 4294967296) "
+            "/ 4294967296.0 * 1700000000) as bigint) - 850000000")
+
+BBOX_LIT = (-600_000_000, -300_000_000, 900_000_000, 500_000_000)
+
+
+def _pts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet") \
+        .createOrReplaceTempView("lineitem")
+    return spark.sql(PTS_SQL)
+
+
+def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _pts_with_qt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return Q.with_point_qt(_pts(spark, sf_dir), "lon", "lat", 18,
+                           out="qt_point")
+
+
+# ---------------------------------------------------------------- fixtures
+# literal workloads (seeded, tiny — inlined as VALUES in the oracle SQL)
+
+def _bbox_queries() -> pd.DataFrame:
+    rng = np.random.default_rng(421)
+    rows = []
+    for q in range(20):
+        w = float(rng.uniform(0.5, 25.0))
+        h = float(rng.uniform(0.5, 25.0))
+        cx = float(rng.uniform(-165, 165))
+        cy = float(rng.uniform(-70, 70))
+        rows.append((q, int((cx - w / 2) * 1e7), int((cy - h / 2) * 1e7),
+                     int((cx + w / 2) * 1e7), int((cy + h / 2) * 1e7)))
+    return pd.DataFrame(rows, columns=["qid", "minlon", "minlat",
+                                       "maxlon", "maxlat"])
+
+
+def _polygons() -> pd.DataFrame:
+    """Convex CCW polygons, radius 1-8 deg (big enough to catch points even
+    at sf0.001 density)."""
+    rng = np.random.default_rng(77)
+    rows = []
+    for j in range(12):
+        nv = int(rng.integers(6, 13))
+        radius = float(rng.uniform(1.0, 8.0))
+        cx = float(rng.uniform(-160, 160))
+        cy = float(rng.uniform(-70, 70))
+        ang = np.sort(rng.uniform(0, 2 * np.pi, nv))
+        vx = np.round((cx + radius * np.cos(ang)) * 1e7).astype(np.int64)
+        vy = np.round((cy + radius * np.sin(ang)) * 1e7).astype(np.int64)
+        rows.append({
+            "poly_id": f"poly{j:06d}",
+            "verts_lon": vx.tolist(), "verts_lat": vy.tolist(),
+            "minlon": int(vx.min()), "minlat": int(vy.min()),
+            "maxlon": int(vx.max()), "maxlat": int(vy.max()),
+        })
+    return pd.DataFrame(rows)
+
+
+def _knn_queries() -> pd.DataFrame:
+    rng = np.random.default_rng(422)
+    return pd.DataFrame({
+        "qid": np.arange(10),
+        "lon": rng.integers(-1_700_000_000, 1_700_000_000, 10),
+        "lat": rng.integers(-750_000_000, 750_000_000, 10),
+        "k": np.array([1, 5, 20, 5, 1, 20, 5, 1, 5, 20], dtype=np.int64),
+    })
+
+
+# ================================================================ queries ==
+
+def q_a1_count_fingerprint(spark, sf_dir):
+    pts = _pts(spark, sf_dir)
+    return CNT.count_fingerprint(pts, id_col="rowkey").select(
+        F.col("num").cast("long").alias("num"),
+        F.col("min_id").cast("long").alias("min_id"),
+        F.col("max_id").cast("long").alias("max_id"),
+        F.col("min_lon").cast("long").alias("min_lon"),
+        F.col("max_lon").cast("long").alias("max_lon"),
+        F.col("min_lat").cast("long").alias("min_lat"),
+        F.col("max_lat").cast("long").alias("max_lat"),
+    )
+
+
+def q_a5_count_by_group(spark, sf_dir):
+    ev = _read(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("num"),
+        F.min("event_id").cast("long").alias("min_id"),
+        F.max("event_id").cast("long").alias("max_id"),
+    )
+
+
+def q_a2_refs_stats(spark, sf_dir):
+    li = _read(spark, sf_dir, "lineitem")
+    refs = li.groupBy("l_orderkey").agg(
+        F.collect_list("l_linenumber").alias("refs"))
+    out = CNT.count_refs_stats(refs)
+    return out.select(*[F.col(c).cast("long").alias(c)
+                        for c in out.columns])
+
+
+def q_x7_time_rollup(spark, sf_dir):
+    ev = _read(spark, sf_dir, "events")
+    return (
+        ev.withColumn("ym", (F.year("ts") * 100 + F.month("ts")).cast("long"))
+        .groupBy("ym").agg(
+            F.count(F.lit(1)).cast("long").alias("num"),
+            F.min("event_id").cast("long").alias("min_id"))
+    )
+
+
+def q_j3_merge_latest(spark, sf_dir):
+    o = _read(spark, sf_dir, "orders")
+    base = o.select("o_orderkey", F.lit(0).cast("long").alias("version"))
+    change = o.filter(F.col("o_orderkey") % 5 == 0).select(
+        "o_orderkey", F.lit(1).cast("long").alias("version"))
+    merged = DIFF.merge_latest(base.unionByName(change), ["o_orderkey"])
+    return merged.select(F.col("o_orderkey").cast("long").alias("o_orderkey"),
+                         F.col("version").alias("src"))
+
+
+def q_j5_apply_changes(spark, sf_dir):
+    o = _read(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority",
+        F.lit("normal").alias("changetype"))
+    ch = (
+        _read(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 7 == 0)
+        .select(
+            "o_orderkey",
+            F.lit("X-PRIORITY").alias("o_orderpriority"),
+            F.when(F.col("o_orderkey") % 2 == 0, "delete")
+            .otherwise("modify").alias("changetype"))
+    )
+    out = DIFF.apply_changes(o, ch, ["o_orderkey"])
+    return out.select(F.col("o_orderkey").cast("long").alias("o_orderkey"),
+                      "o_orderpriority")
+
+
+def q_j6_diff_summary(spark, sf_dir):
+    o = _read(spark, sf_dir, "orders")
+    left = o.select("o_orderkey", "o_totalprice", "o_orderstatus")
+    right = (
+        o.filter(F.col("o_orderkey") % 3 != 0)
+        .withColumn("o_totalprice",
+                    F.when(F.col("o_orderkey") % 11 == 0,
+                           F.col("o_totalprice") + 1)
+                    .otherwise(F.col("o_totalprice")))
+    )
+    return DIFF.diff_summary(left, right, ["o_orderkey"],
+                             ["o_totalprice", "o_orderstatus"]).select(
+        "diff_class", F.col("count").cast("long").alias("num"))
+
+
+def q_j1_semi_join_cascade(spark, sf_dir):
+    cust = _read(spark, sf_dir, "customer").selectExpr(
+        "c_custkey AS id", f"{CUST_LON} AS lon", f"{CUST_LAT} AS lat")
+    orders = _read(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("id"),
+        F.array(F.col("o_custkey")).alias("refs"))
+    res = CNT.semi_join_cascade(cust, orders, BBOX_LIT)
+    return res["container_ids"].select(
+        F.col("cid").cast("long").alias("o_orderkey"))
+
+
+def q_x1_point_qt(spark, sf_dir):
+    pts = _pts_with_qt(spark, sf_dir)
+    return pts.select(F.col("rowkey").cast("long").alias("rowkey"),
+                      F.col("qt_point").alias("qt"))
+
+
+def q_x2_bbox_qt_depth_hist(spark, sf_dir):
+    pts = _pts(spark, sf_dir).selectExpr(
+        "rowkey", "lon - halfw AS minlon", "lat - halfh AS minlat",
+        "lon + halfw AS maxlon", "lat + halfh AS maxlat")
+    boxed = Q.with_bbox_qt(pts, "minlon", "minlat", "maxlon", "maxlat")
+    return (
+        boxed.select(Q.qt_depth(F.col("qt")).cast("long").alias("depth"))
+        .groupBy("depth").agg(F.count(F.lit(1)).cast("long").alias("num"))
+    )
+
+
+def q_s14_tile_counts(spark, sf_dir):
+    pts = _pts_with_qt(spark, sf_dir)
+    return (
+        pts.select(Q.qt_round(F.col("qt_point"), 10).alias("tile"))
+        .groupBy("tile").agg(F.count(F.lit(1)).cast("long").alias("num"))
+    )
+
+
+def q_a10_tile_plan(spark, sf_dir):
+    # driver-side bin-packing: deterministic but not SQL-expressible
+    pts = _pts_with_qt(spark, sf_dir)
+    cells = TIL.prepare_quadtree_tree(pts, "qt_point", maxdepth=10)
+    groups = TIL.find_tree_groups(cells, target=2000)
+    return spark.createDataFrame(groups.astype({"tile": "int64",
+                                                "weight": "int64"}))
+
+
+def q_j11_bbox_join(spark, sf_dir):
+    pts = _pts_with_qt(spark, sf_dir)
+    return SJ.bbox_join(pts, _bbox_queries(), point_id="rowkey").select(
+        F.col("qid").cast("long").alias("qid"),
+        F.col("rowkey").cast("long").alias("rowkey"))
+
+
+def q_j9_pip_join(spark, sf_dir):
+    pts = _pts_with_qt(spark, sf_dir)
+    return SJ.pip_join(pts, _polygons(), point_id="rowkey").select(
+        "poly_id", F.col("rowkey").cast("long").alias("rowkey"))
+
+
+def q_j10_knn_join(spark, sf_dir):
+    pts = _pts_with_qt(spark, sf_dir)
+    out = SJ.knn_join(pts, _knn_queries(), point_id="rowkey")
+    return out.select(F.col("qid").cast("long").alias("qid"),
+                      F.col("rank").cast("long").alias("rank"),
+                      F.col("rowkey").cast("long").alias("rowkey"))
+
+
+def q_j12_raster_vector(spark, sf_dir):
+    pts = _pts_with_qt(spark, sf_dir)
+    return SJ.raster_vector_assign(pts, 10, 7, "qt_point")
+
+
+def q_f8_idset_semi_join(spark, sf_dir):
+    ev = _read(spark, sf_dir, "events")
+    heavy = (ev.groupBy("user_id").count()
+             .filter(F.col("count") >= 5).select("user_id"))
+    return (
+        ev.join(heavy, "user_id", "left_semi")
+        .groupBy("user_id").agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.min("event_id").cast("long").alias("min_id"))
+        .select(F.col("user_id").cast("long").alias("user_id"), "n", "min_id")
+    )
+
+
+def q_dedup_exact(spark, sf_dir):
+    docs = _read(spark, sf_dir, "documents")
+    out = DD.exact_dedup(docs)
+    return out.select("content_md5",
+                      F.col("keep_id").cast("long").alias("keep_id"),
+                      F.col("dups").cast("long").alias("dups"))
+
+
+def q_dedup_ngram_jaccard(spark, sf_dir):
+    docs = _read(spark, sf_dir, "documents")
+    out = DD.ngram_jaccard_pairs(docs, threshold=0.2)
+    return out.select(F.col("id_a").cast("long").alias("id_a"),
+                      F.col("id_b").cast("long").alias("id_b"),
+                      F.col("inter").cast("long").alias("inter"),
+                      F.col("union_sz").cast("long").alias("union_sz"))
+
+
+def q_dedup_minhash_lsh(spark, sf_dir):
+    docs = _read(spark, sf_dir, "documents")
+    out = DD.minhash_lsh_pairs(docs, num_hashes=8, bands=4,
+                               verify_threshold=0.2)
+    return out.select(F.col("id_a").cast("long").alias("id_a"),
+                      F.col("id_b").cast("long").alias("id_b"),
+                      F.col("inter").cast("long").alias("inter"),
+                      F.col("union_sz").cast("long").alias("union_sz"))
+
+
+def q_dedup_simhash(spark, sf_dir):
+    docs = _read(spark, sf_dir, "documents")
+    out = DD.simhash_signatures(docs, bits=16)
+    return out.select(F.col("doc_id").cast("long").alias("doc_id"),
+                      F.col("simhash").cast("long").alias("simhash"))
+
+
+def q_text_quality(spark, sf_dir):
+    docs = _read(spark, sf_dir, "documents")
+    out = TX.with_quality(docs)
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("n_ws_tokens").cast("long").alias("n_ws_tokens"),
+        F.col("n_bpe_tokens").cast("long").alias("n_bpe_tokens"),
+        F.col("stop_hits").cast("long").alias("stop_hits"),
+        F.col("n_symbols").cast("long").alias("n_symbols"),
+        F.col("is_quality"),
+    )
+
+
+def q_text_langid(spark, sf_dir):
+    docs = _read(spark, sf_dir, "documents")
+    return TX.with_langid(docs).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "lang_pred")
+
+
+def q_text_fingerprint(spark, sf_dir):
+    docs = _read(spark, sf_dir, "documents")
+    return TX.with_fingerprint(docs).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("fingerprint").cast("long").alias("fingerprint"))
+
+
+def q_ann_l2_topk(spark, sf_dir):
+    emb = _read(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec"))
+    out = SIM.l2_topk(emb, queries, k=10)
+    return out.select(F.col("qid").cast("long").alias("qid"),
+                      F.col("rank").cast("long").alias("rank"),
+                      F.col("vec_id").cast("long").alias("vec_id"),
+                      F.col("dist2").cast("long").alias("dist2"))
+
+
+def q_ann_lsh_bucket_hist(spark, sf_dir):
+    emb = _read(spark, sf_dir, "embeddings")
+    dim = len(emb.select("embedding").first()[0])
+    out = SIM.with_lsh_bucket(emb, dim=dim, planes=8)
+    return (out.groupBy("bucket")
+            .agg(F.count(F.lit(1)).cast("long").alias("num"),
+                 F.min("vec_id").cast("long").alias("min_id"))
+            .select(F.col("bucket").cast("long").alias("bucket"),
+                    "num", "min_id"))
+
+
+def q_ann_cosine_topk(spark, sf_dir):
+    # engine-only (float scores; no SQL oracle by design)
+    emb = _read(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec"))
+    out = SIM.cosine_topk(emb, queries, k=10)
+    return out.select(F.col("qid").cast("long").alias("qid"),
+                      F.col("rank").cast("long").alias("rank"),
+                      F.col("vec_id").cast("long").alias("vec_id"))

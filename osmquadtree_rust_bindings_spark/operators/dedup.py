@@ -1,0 +1,206 @@
+"""Deduplication operators for large-scale corpus pipelines.
+
+Exact (hash groupBy), n-gram Jaccard (inverted shingle index), MinHash+LSH
+(band buckets), SimHash, and embedding near-dup — each expressed as shuffle-
+lean DataFrame plans:
+
+- shingling is explode + window(lead), no Python;
+- minhash signatures are ONE groupBy(doc).agg(min per hash) over the
+  exploded shingle stream (map-side combinable);
+- LSH candidate generation is an equi-join on (band, bucket) — never a
+  cross join;
+- verification joins candidates back to signatures/shingle sets.
+
+All hashes are md5-derived 60-bit ints (portable: identical in Spark and
+DuckDB, so the correctness oracle can replay the exact pipeline in SQL).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+# md5-hex -> 60-bit int, identical value obtainable in DuckDB via
+# cast(('0x' || substring(md5(x),1,15)) as bigint)
+WORD_HASH = "cast(conv(substring(md5({col}),1,15),16,10) as bigint)"
+MERSENNE_P = (1 << 61) - 1
+
+
+def exact_dedup(df: DataFrame, text: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup on content hash: one group per md5(text), keeper = min id.
+    Output: (content_md5, keep_id, dups)."""
+    return (
+        df.select(F.md5(F.col(text)).alias("content_md5"), F.col(id_col))
+        .groupBy("content_md5")
+        .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("dups"))
+    )
+
+
+def shingles(df: DataFrame, text: str = "text", id_col: str = "doc_id",
+             n: int = 2) -> DataFrame:
+    """Word n-gram shingles: (id, shingle) distinct.
+
+    posexplode(split) + (n-1) chained lead() windows — stays in SQL land;
+    the window is per-document (partition by id) so it scales with document
+    length, not corpus size.
+    """
+    words = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text), " ")).alias("pos", "w0"),
+    )
+    w = Window.partitionBy(id_col).orderBy("pos")
+    cols = [F.col("w0")]
+    for i in range(1, n):
+        words = words.withColumn(f"w{i}", F.lead("w0", i).over(w))
+        cols.append(F.col(f"w{i}"))
+    sh = words.filter(F.col(f"w{n-1}").isNotNull()).select(
+        F.col(id_col), F.concat_ws(" ", *cols).alias("shingle"))
+    return sh.distinct()
+
+
+def ngram_jaccard_pairs(df: DataFrame, threshold: float = 0.4,
+                        text: str = "text", id_col: str = "doc_id",
+                        n: int = 2) -> DataFrame:
+    """All-pairs n-gram Jaccard >= threshold via an inverted shingle index.
+
+    |A ∩ B| from the self-join of the distinct shingle stream; |A ∪ B| =
+    nA + nB - inter.  Threshold comparison done as integer cross-multiply
+    (10*inter >= thr*10*union) to keep the output float-free.
+    Output: (id_a, id_b, inter, union_sz) with id_a < id_b.
+    """
+    sh = shingles(df, text, id_col, n).cache()
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("nsh"))
+    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b").agg(F.count(F.lit(1)).alias("inter"))
+    )
+    thr_num = int(round(threshold * 1000))
+    return (
+        inter
+        .join(sizes.withColumnRenamed(id_col, "id_a")
+              .withColumnRenamed("nsh", "na"), "id_a")
+        .join(sizes.withColumnRenamed(id_col, "id_b")
+              .withColumnRenamed("nsh", "nb"), "id_b")
+        .withColumn("union_sz", F.col("na") + F.col("nb") - F.col("inter"))
+        .filter(F.col("inter") * 1000 >= F.lit(thr_num) * F.col("union_sz"))
+        .select("id_a", "id_b", "inter", "union_sz")
+    )
+
+
+def _hash_params(num_hashes: int) -> list[tuple[int, int]]:
+    """Deterministic (a, b) pairs for the universal-hash family, both < 2^31
+    so (h % 2^31-1) * a + b stays inside int64 in every engine."""
+    m = 2147483647
+    return [(((2 * i + 1) * 0x9E3779B1 + 12289) % m,
+             ((i * i + 1) * 0x85EBCA77 + 1) % m)
+            for i in range(num_hashes)]
+
+
+def minhash_signatures(df: DataFrame, num_hashes: int = 16,
+                       text: str = "text", id_col: str = "doc_id",
+                       n: int = 2) -> DataFrame:
+    """MinHash signature per doc: min over shingles of (a*h + b) mod P for
+    each hash i — a single groupBy over the exploded shingle stream.
+    Output: (id, mh0..mh{k-1})."""
+    sh = shingles(df, text, id_col, n).withColumn(
+        "h", F.expr(WORD_HASH.format(col="shingle"))
+        % F.lit(2147483647))  # 31-bit reduce: a*h must stay inside int64
+    aggs = [
+        F.min((F.col("h") * F.lit(a) + F.lit(b)) % F.lit(MERSENNE_P))
+        .alias(f"mh{i}")
+        for i, (a, b) in enumerate(_hash_params(num_hashes))
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def minhash_lsh_pairs(df: DataFrame, num_hashes: int = 16, bands: int = 4,
+                      text: str = "text", id_col: str = "doc_id",
+                      n: int = 2, verify_threshold: float | None = 0.4
+                      ) -> DataFrame:
+    """LSH candidate pairs: docs sharing any band bucket.  Buckets are the
+    concatenated band slice of the signature (portable string key).  With
+    verify_threshold set, candidates are verified with true Jaccard via the
+    shingle index (cover-and-refine, like the spatial joins).
+    Output: (id_a, id_b[, inter, union_sz])."""
+    rows = num_hashes // bands
+    sig = minhash_signatures(df, num_hashes, text, id_col, n).cache()
+    bucket_cols = []
+    for b in range(bands):
+        cols = [F.col(f"mh{b * rows + r}") for r in range(rows)]
+        bucket_cols.append(
+            F.concat_ws("_", F.lit(str(b)), *[c.cast("string") for c in cols])
+            .alias(f"band{b}"))
+    buckets = sig.select(F.col(id_col), *bucket_cols)
+    stacked = None
+    for b in range(bands):
+        part = buckets.select(F.col(id_col), F.col(f"band{b}").alias("bucket"))
+        stacked = part if stacked is None else stacked.unionByName(part)
+    a = stacked.select(F.col(id_col).alias("id_a"), "bucket")
+    bb = stacked.select(F.col(id_col).alias("id_b"), "bucket")
+    cand = (
+        a.join(bb, "bucket").filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b").distinct()
+    )
+    if verify_threshold is None:
+        return cand
+    true_pairs = ngram_jaccard_pairs(df, verify_threshold, text, id_col, n)
+    return cand.join(true_pairs, ["id_a", "id_b"])
+
+
+def simhash_signatures(df: DataFrame, bits: int = 16, text: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """SimHash over word hashes: bit b of the signature is set iff
+    sum over words of (bit b of hash ? +1 : -1) > 0.  Pure SQL aggregation
+    (one sum per bit, map-side combinable).  Output: (id, simhash)."""
+    words = df.select(
+        F.col(id_col), F.explode(F.split(F.col(text), " ")).alias("w"))
+    words = words.withColumn("h", F.expr(WORD_HASH.format(col="w")))
+    aggs = [
+        F.sum(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) * 2 - 1)
+        .alias(f"s{b}")
+        for b in range(bits)
+    ]
+    sums = words.groupBy(id_col).agg(*aggs)
+    sig = F.lit(0)
+    for b in range(bits):
+        sig = sig + F.when(F.col(f"s{b}") > 0,
+                           F.lit(1 << b)).otherwise(F.lit(0))
+    return sums.select(F.col(id_col), sig.alias("simhash"))
+
+
+def simhash_dup_pairs(df: DataFrame, bits: int = 16, max_hamming: int = 2,
+                      text: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Near-dup pairs by SimHash: band the signature into (max_hamming+1)
+    chunks (pigeonhole: any pair within hamming distance shares >= 1 exact
+    chunk), join on chunk, verify hamming via bit_count.
+    Output: (id_a, id_b, hamming)."""
+    sig = simhash_signatures(df, bits, text, id_col).cache()
+    chunks = max_hamming + 1
+    step = bits // chunks
+    stacked = None
+    for c in range(chunks):
+        mask = ((1 << step) - 1) << (c * step)
+        part = sig.select(
+            F.col(id_col),
+            F.concat_ws("_", F.lit(str(c)),
+                        F.col("simhash").bitwiseAND(F.lit(mask))
+                        .cast("string")).alias("chunk"))
+        stacked = part if stacked is None else stacked.unionByName(part)
+    a = stacked.select(F.col(id_col).alias("id_a"), "chunk")
+    b = stacked.select(F.col(id_col).alias("id_b"), "chunk")
+    cand = (a.join(b, "chunk").filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b").distinct())
+    sa = sig.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("ha"))
+    sb = sig.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("hb"))
+    return (
+        cand.join(sa, "id_a").join(sb, "id_b")
+        .withColumn("hamming", F.bit_count(
+            F.col("ha").bitwiseXOR(F.col("hb"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

@@ -1,0 +1,136 @@
+"""Similarity search over embedding columns (array<float>).
+
+- Brute-force top-k (L2 and cosine): broadcast the query set, score with
+  sequential-fold Column math (F.aggregate/zip_with — JVM-side, no Python),
+  window re-rank.  The L2 variant quantizes to integers first so results
+  are exactly reproducible across engines (no float-sum ordering issues).
+- LSH-bucketed ANN (the scale path): random-hyperplane signs with integer
+  plane coefficients -> exact bucket ids; candidates probe only matching
+  buckets (equi-join), then exact re-rank.  At 10^12 rows the bucket join
+  replaces the O(N*Q) scan with O(candidates).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+QUANT = 1000  # fixed-point scale for exact integer scoring
+
+
+def _quantized(col):
+    """array<float> -> array<long>, e -> floor(e * QUANT)."""
+    return F.transform(col, lambda e: F.floor(
+        e.cast("double") * QUANT).cast("long"))
+
+
+def _dot_int(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0).cast("long"), lambda acc, v: acc + v)
+
+
+def l2_topk(embeddings: DataFrame, queries: DataFrame, k: int = 10,
+            id_col: str = "vec_id", vec_col: str = "embedding",
+            qid_col: str = "qid", qvec_col: str = "qvec") -> DataFrame:
+    """Exact top-k by squared L2 distance on QUANT-quantized vectors.
+    Integer math end to end -> identical ranks on any engine.
+    Output: (qid, rank, vec_id, dist2)."""
+    e = embeddings.select(F.col(id_col),
+                          _quantized(F.col(vec_col)).alias("__v"))
+    q = queries.select(F.col(qid_col),
+                       _quantized(F.col(qvec_col)).alias("__q"))
+    scored = e.crossJoin(F.broadcast(q)).withColumn(
+        "dist2",
+        F.aggregate(F.zip_with(F.col("__v"), F.col("__q"),
+                               lambda x, y: (x - y) * (x - y)),
+                    F.lit(0).cast("long"), lambda acc, v: acc + v),
+    )
+    w = Window.partitionBy(qid_col).orderBy(
+        F.col("dist2").asc(), F.col(id_col).asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(qid_col, "rank", id_col, "dist2")
+    )
+
+
+def cosine_topk(embeddings: DataFrame, queries: DataFrame, k: int = 10,
+                id_col: str = "vec_id", vec_col: str = "embedding",
+                qid_col: str = "qid", qvec_col: str = "qvec") -> DataFrame:
+    """Brute-force cosine top-k (double math; rank ties broken by id).
+    Output: (qid, rank, vec_id, cos_sim)."""
+    def to_d(c):
+        return F.transform(c, lambda e: e.cast("double"))
+
+    e = embeddings.select(F.col(id_col), to_d(F.col(vec_col)).alias("__v"))
+    q = queries.select(F.col(qid_col), to_d(F.col(qvec_col)).alias("__q"))
+
+    def dot(a, b):
+        return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                           F.lit(0.0), lambda acc, v: acc + v)
+
+    scored = e.crossJoin(F.broadcast(q)).withColumn(
+        "cos_sim",
+        dot(F.col("__v"), F.col("__q"))
+        / F.sqrt(dot(F.col("__v"), F.col("__v")))
+        / F.sqrt(dot(F.col("__q"), F.col("__q"))),
+    )
+    w = Window.partitionBy(qid_col).orderBy(
+        F.col("cos_sim").desc(), F.col(id_col).asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(qid_col, "rank", id_col, "cos_sim")
+    )
+
+
+def _plane_coeff(j: int, d: int) -> int:
+    """Deterministic integer hyperplane coefficients in [-3, 3]."""
+    return ((j * 31 + d * 17 + (j * d) % 11) % 7) - 3
+
+
+def with_lsh_bucket(df: DataFrame, dim: int, planes: int = 8,
+                    vec_col: str = "embedding",
+                    out: str = "bucket") -> DataFrame:
+    """Random-hyperplane LSH bucket: bit j = sign of <v_int, plane_j>.
+    Integer dot products -> exact, portable bucket ids."""
+    v = _quantized(F.col(vec_col))
+    df = df.withColumn("__vq", v)
+    bucket = F.lit(0)
+    for j in range(planes):
+        coeffs = F.array(*[F.lit(_plane_coeff(j, d)) for d in range(dim)])
+        dot = _dot_int(F.col("__vq"), coeffs)
+        bucket = bucket + F.when(dot > 0, F.lit(1 << j)).otherwise(F.lit(0))
+    return df.withColumn(out, bucket).drop("__vq")
+
+
+def ann_lsh_topk(embeddings: DataFrame, queries: DataFrame, dim: int,
+                 k: int = 10, planes: int = 8, id_col: str = "vec_id",
+                 vec_col: str = "embedding", qid_col: str = "qid",
+                 qvec_col: str = "qvec") -> DataFrame:
+    """Approximate top-k: probe only vectors in the query's LSH bucket,
+    exact integer-L2 re-rank inside the bucket.  The equi-join on bucket is
+    the 10^12-scale path (bucketed/partitioned storage co-locates it).
+    Output: (qid, rank, vec_id, dist2) — may return < k rows per query
+    (approximate by design; multi-probe = union neighboring buckets)."""
+    e = with_lsh_bucket(embeddings, dim, planes, vec_col)
+    q = with_lsh_bucket(
+        queries.withColumnRenamed(qvec_col, "__qv"), dim, planes, "__qv")
+    e = e.select(F.col(id_col), _quantized(F.col(vec_col)).alias("__v"),
+                 "bucket")
+    q = q.select(F.col(qid_col), _quantized(F.col("__qv")).alias("__q"),
+                 "bucket")
+    cand = e.join(F.broadcast(q), "bucket").withColumn(
+        "dist2",
+        F.aggregate(F.zip_with(F.col("__v"), F.col("__q"),
+                               lambda x, y: (x - y) * (x - y)),
+                    F.lit(0).cast("long"), lambda acc, v: acc + v),
+    )
+    w = Window.partitionBy(qid_col).orderBy(
+        F.col("dist2").asc(), F.col(id_col).asc())
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(qid_col, "rank", id_col, "dist2")
+    )

@@ -1,0 +1,286 @@
+"""Spatial joins: bbox/range (J11), point-in-polygon (J9), kNN (J10),
+raster-tile <-> vector-cell assignment (J12).
+
+All four follow the same Spark-first shape (SURVEY.md §2.3): a coarse
+"cover" equi-join on grid cells (broadcast when the query side is small,
+shuffle otherwise) followed by an exact refine — the standard cover+refine
+spatial join.  The cover side pushes down as an equi-join Catalyst can plan
+(broadcast hash join / AQE skew join); the refine is either pure Column
+predicates (bbox) or a vectorized numpy kernel (PIP).
+
+Reference parity anchors:
+- bbox contains point (closed intervals)   src/elements.rs:855-860
+- Poly.contains_point / check_box          src/readpbf.rs:757-763
+- idset spatial semi-join cascade          src/elements.rs:855-894 (J1)
+- qt prefix algebra for cell assignment    src/elements.rs:38-40
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from osmquadtree_rust_bindings_spark import kernels as K
+from osmquadtree_rust_bindings_spark.functions import quadtree as Q
+
+COVER_DEPTH = 8  # coarse cover-grid depth for polygon/bbox joins
+
+
+# --------------------------------------------------------------- cell cover
+
+def bbox_cover_cells(minlon, minlat, maxlon, maxlat,
+                     depth: int = COVER_DEPTH) -> list[tuple[int, int]]:
+    """All depth-``depth`` qt cells intersecting each bbox.
+
+    Returns [(row_idx, cell_qt), ...].  Driver-side numpy — the query/polygon
+    side of a cover join is small by design (broadcast side).
+    """
+    minlon = np.atleast_1d(np.asarray(minlon, np.int64))
+    maxlon = np.atleast_1d(np.asarray(maxlon, np.int64))
+    minlat = np.atleast_1d(np.asarray(minlat, np.int64))
+    maxlat = np.atleast_1d(np.asarray(maxlat, np.int64))
+    n = np.int64(1) << np.int64(depth)
+    x0, y0 = K.norm_xy(minlon, minlat)
+    x1, y1 = K.norm_xy(maxlon, maxlat)
+    ix0 = np.clip(np.floor(x0 * n).astype(np.int64), 0, n - 1)
+    ix1 = np.clip(np.floor(x1 * n).astype(np.int64), 0, n - 1)
+    iy0 = np.clip(np.floor(y0 * n).astype(np.int64), 0, n - 1)
+    iy1 = np.clip(np.floor(y1 * n).astype(np.int64), 0, n - 1)
+    out = []
+    for i in range(len(ix0)):
+        xs = np.arange(ix0[i], ix1[i] + 1)
+        ys = np.arange(iy0[i], iy1[i] + 1)
+        gx, gy = np.meshgrid(xs, ys)
+        cells = K.qt_from_cell(gx.ravel(), gy.ravel(),
+                               np.full(gx.size, depth))
+        out.extend((i, int(c)) for c in cells)
+    return out
+
+
+# --------------------------------------------------------------- J11 bbox
+
+def bbox_join(points: DataFrame, boxes_pdf: pd.DataFrame,
+              point_id: str = "image_id", depth: int = COVER_DEPTH,
+              qt_point: str = "qt_point") -> DataFrame:
+    """(qid, point_id) pairs where the point lies in the query box
+    (closed intervals, reference bbox.contains_point semantics).
+
+    Cover: broadcast (cell, qid[, box]) expansion joined on the point's
+    depth-``depth`` ancestor cell; refine: pure Column interval predicate.
+    """
+    spark = points.sparkSession
+    cov = bbox_cover_cells(boxes_pdf.minlon.values, boxes_pdf.minlat.values,
+                           boxes_pdf.maxlon.values, boxes_pdf.maxlat.values,
+                           depth)
+    cov_pdf = pd.DataFrame(
+        [(int(boxes_pdf.qid.iloc[i]), c) for i, c in cov],
+        columns=["qid", "cell_cov"],
+    ).merge(boxes_pdf, on="qid")
+    cov_df = spark.createDataFrame(cov_pdf)
+    pts = points.withColumn("cell_cov", Q.qt_round(F.col(qt_point), depth))
+    return (
+        pts.join(F.broadcast(cov_df), "cell_cov")
+        .filter(
+            (F.col("lon") >= F.col("minlon")) & (F.col("lon") <= F.col("maxlon"))
+            & (F.col("lat") >= F.col("minlat")) & (F.col("lat") <= F.col("maxlat"))
+        )
+        .select("qid", point_id)
+    )
+
+
+# --------------------------------------------------------------- J9 PIP
+
+def pip_join(points: DataFrame, polygons_pdf: pd.DataFrame,
+             point_id: str = "image_id", depth: int = COVER_DEPTH,
+             qt_point: str = "qt_point") -> DataFrame:
+    """(poly_id, point_id) pairs with the point strictly inside the polygon
+    (shapely-``contains``-style boundary exclusion; reference
+    Poly.contains_point, src/readpbf.rs:761-763).
+
+    Cover: polygon-bbox cells broadcast-joined on the point's cell, plus the
+    bbox prefilter (reference check_box, F5).  Refine: vectorized
+    ray-crossing kernel over candidates, grouped per polygon inside each
+    Arrow batch; polygon vertices travel via broadcast, built once per
+    executor.
+    """
+    spark = points.sparkSession
+    polys = polygons_pdf.reset_index(drop=True)
+    cov = bbox_cover_cells(polys.minlon.values, polys.minlat.values,
+                           polys.maxlon.values, polys.maxlat.values, depth)
+    cov_pdf = pd.DataFrame(
+        [(polys.poly_id.iloc[i], c,
+          int(polys.minlon.iloc[i]), int(polys.minlat.iloc[i]),
+          int(polys.maxlon.iloc[i]), int(polys.maxlat.iloc[i]))
+         for i, c in cov],
+        columns=["poly_id", "cell_cov", "minlon", "minlat",
+                 "maxlon", "maxlat"],
+    )
+    cov_df = spark.createDataFrame(cov_pdf)
+    verts = {
+        r.poly_id: (np.asarray(r.verts_lon, np.float64),
+                    np.asarray(r.verts_lat, np.float64))
+        for r in polys.itertuples(index=False)
+    }
+    bc = spark.sparkContext.broadcast(verts)
+
+    pts = points.withColumn("cell_cov", Q.qt_round(F.col(qt_point), depth))
+    cand = (
+        pts.join(F.broadcast(cov_df), "cell_cov")
+        .filter(
+            (F.col("lon") >= F.col("minlon")) & (F.col("lon") <= F.col("maxlon"))
+            & (F.col("lat") >= F.col("minlat")) & (F.col("lat") <= F.col("maxlat"))
+        )
+        .select("poly_id", point_id, "lon", "lat")
+    )
+
+    def refine(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        vmap = bc.value
+        for b in batches:
+            keep = np.zeros(len(b), dtype=bool)
+            for pid, idx in b.groupby("poly_id").indices.items():
+                vx, vy = vmap[pid]
+                keep[idx] = K.points_in_polygon(
+                    b["lon"].to_numpy(np.float64)[idx],
+                    b["lat"].to_numpy(np.float64)[idx], vx, vy)
+            yield b.loc[keep, ["poly_id", point_id]]
+
+    id_type = dict(points.dtypes)[point_id]
+    return cand.mapInPandas(
+        refine, schema=f"poly_id string, {point_id} {id_type}")
+
+
+# --------------------------------------------------------------- J10 kNN
+
+def knn_join(points: DataFrame, queries_pdf: pd.DataFrame,
+             point_id: str = "image_id", level: int = 6,
+             qt_point: str = "qt_point", max_rounds: int = 8) -> DataFrame:
+    """k nearest points per query: ring-expansion cover join + exact
+    haversine re-rank (window), iterated until the k-th distance is within
+    the ring guarantee radius.  Ties broken by ascending ``point_id``.
+
+    Mercator cells are locally square, so a point outside the Chebyshev-r
+    ring around the query's level-L cell is at least
+    r * (2*pi*R / 2^L) * min(cos(lat)) meters away — the per-round guarantee.
+    Each round only re-runs unsatisfied queries with doubled r; the points
+    side is probed via a broadcast (cell -> qid) expansion, so every round
+    is one broadcast join + window over candidates, no cross join ever.
+    """
+    from pyspark.sql.window import Window
+
+    spark = points.sparkSession
+    pts = points.withColumn(
+        "cell_knn", Q.qt_round(F.col(qt_point), level)).select(
+        "cell_knn", point_id, "lon", "lat")
+
+    remaining = queries_pdf.copy()
+    results = []
+    r = 1
+    for _ in range(max_rounds):
+        if len(remaining) == 0:
+            break
+        # ring cells for each remaining query (driver-side, queries small)
+        qlon = remaining.lon.to_numpy(np.int64)
+        qlat = remaining.lat.to_numpy(np.int64)
+        n = np.int64(1) << np.int64(level)
+        x, y = K.norm_xy(qlon, qlat)
+        cx = np.clip(np.floor(x * n).astype(np.int64), 0, n - 1)
+        cy = np.clip(np.floor(y * n).astype(np.int64), 0, n - 1)
+        rows = []
+        for i, q in enumerate(remaining.qid.tolist()):
+            # x wraps at the antimeridian (haversine distance wraps too);
+            # y is clipped (mercator domain is cut at +-85 deg, no data beyond)
+            xs = np.unique(np.arange(cx[i] - r, cx[i] + r + 1) % int(n))
+            ys = np.arange(max(0, cy[i] - r), min(int(n) - 1, cy[i] + r) + 1)
+            gx, gy = np.meshgrid(xs, ys)
+            cells = K.qt_from_cell(gx.ravel(), gy.ravel(),
+                                   np.full(gx.size, level))
+            rows.extend((int(q), int(c)) for c in cells)
+        ring_df = spark.createDataFrame(
+            pd.DataFrame(rows, columns=["qid", "cell_knn"]))
+        qdf = spark.createDataFrame(
+            remaining.rename(columns={"lon": "qlon", "lat": "qlat"}))
+        cand = (
+            pts.join(F.broadcast(ring_df), "cell_knn")
+            .join(F.broadcast(qdf), "qid")
+            .withColumn("dist_m", Q.haversine_m(
+                F.col("lon"), F.col("lat"), F.col("qlon"), F.col("qlat")))
+        )
+        w = Window.partitionBy("qid").orderBy(F.col("dist_m").asc(),
+                                              F.col(point_id).asc())
+        topk = (
+            cand.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= F.col("k"))
+            .select("qid", "rank", point_id, "dist_m", "k")
+        )
+        got = topk.toPandas()
+        # guarantee: ring covers everything within r cells in every direction
+        counts = got.groupby("qid").agg(found=("rank", "max"),
+                                        kth=("dist_m", "max"))
+        sat_ids = []
+        for row in remaining.itertuples(index=False):
+            g = counts.loc[row.qid] if row.qid in counts.index else None
+            # widest |lat| the ring box reaches, for the min-cos bound
+            iy = int(np.clip(np.floor(
+                K.norm_xy(row.lon, row.lat)[1] * n), 0, int(n) - 1))
+            y_edge = max(abs(2.0 * ((iy - r) / float(n)) - 1.0),
+                         abs(2.0 * ((iy + r + 1) / float(n)) - 1.0))
+            lat_edge = K.inv_merc_y(min(y_edge, 1.0))
+            guarantee = r * (2 * np.pi * 6_371_000.0 / float(n)) * \
+                np.cos(np.radians(min(abs(float(lat_edge)), 89.9)))
+            if r >= int(n):  # ring covers the whole grid: take what exists
+                sat_ids.append(row.qid)
+            elif g is not None and g.found >= row.k and g.kth <= guarantee:
+                sat_ids.append(row.qid)
+        sat = got[got.qid.isin(sat_ids)]
+        results.append(sat[["qid", "rank", point_id, "dist_m"]])
+        remaining = remaining[~remaining.qid.isin(sat_ids)]
+        r *= 2
+    if len(remaining):
+        raise RuntimeError(
+            f"kNN did not converge for {len(remaining)} queries "
+            f"within {max_rounds} rounds")
+    out = pd.concat(results, ignore_index=True)
+    return spark.createDataFrame(out)
+
+
+# --------------------------------------------------------------- J12 raster
+
+def raster_vector_assign(df: DataFrame, raster_depth: int = 10,
+                         cell_level: int = 7,
+                         qt_col: str = "qt_point") -> DataFrame:
+    """(qt_raster, cell) cover pairs present in the data: every raster tile
+    at ``raster_depth`` mapped to its covering coarse cell at ``cell_level``
+    (qt prefix algebra, reference round/is_parent src/elements.rs:38-40).
+    Distinct over data — one narrow aggregation.
+    """
+    return (
+        df.select(
+            Q.qt_round(F.col(qt_col), raster_depth).alias("qt_raster"),
+            Q.qt_round(F.col(qt_col), cell_level).alias("cell"),
+        ).distinct()
+    )
+
+
+def raster_vector_hilbert(df: DataFrame, raster_depth: int = 10,
+                          cell_level: int = 7,
+                          qt_col: str = "qt_point") -> DataFrame:
+    """Same pairs but with the vector cell as a Hilbert id (the physical
+    coarse index): adds a vectorized kernel pass to re-encode."""
+    from osmquadtree_rust_bindings_spark import cells as C
+
+    pairs = raster_vector_assign(df, raster_depth, cell_level, qt_col)
+
+    def enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            ix, iy, _d = K.qt_to_cell(b["cell"].to_numpy(np.int64))
+            hil = (np.int64(cell_level) << np.int64(58)) | C.hilbert_d(
+                ix, iy, cell_level)
+            yield pd.DataFrame({"qt_raster": b["qt_raster"],
+                                "cell_hilbert": hil})
+
+    return pairs.mapInPandas(
+        enc, schema="qt_raster long, cell_hilbert long")

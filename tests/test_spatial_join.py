@@ -1,0 +1,134 @@
+"""T2/T3: spatial joins vs brute-force numpy/pandas oracles (SURVEY.md §5)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from osmquadtree_rust_bindings_spark import kernels as K
+from osmquadtree_rust_bindings_spark.operators import calcqts as CQ
+from osmquadtree_rust_bindings_spark.operators import spatial_join as SJ
+from osmquadtree_rust_bindings_spark.sources import fixtures as FX
+from osmquadtree_rust_bindings_spark.sources import images as I
+
+N = 4000
+
+
+@pytest.fixture(scope="module")
+def images_pdf():
+    pdf = I.make_images_pdf(0, N, with_bytes=False)
+    lon, lat = K.phash_lonlat(pdf.phash.to_numpy(np.int64))
+    return pdf.assign(lon=lon, lat=lat)
+
+
+@pytest.fixture(scope="module")
+def calc(spark, images_pdf):
+    sdf = spark.createDataFrame(images_pdf.drop(columns=["lon", "lat"]))
+    return CQ.run_calcqts(sdf).select(
+        "image_id", "lon", "lat", "qt", "qt_point", "cell").cache()
+
+
+def test_bbox_join_exact(spark, calc, images_pdf):
+    boxes = FX.make_bbox_queries_pdf(60)
+    got = SJ.bbox_join(calc, boxes).toPandas() \
+        .sort_values(["qid", "image_id"]).reset_index(drop=True)
+    # oracle: closed-interval cross check
+    rows = []
+    for b in boxes.itertuples(index=False):
+        m = ((images_pdf.lon >= b.minlon) & (images_pdf.lon <= b.maxlon)
+             & (images_pdf.lat >= b.minlat) & (images_pdf.lat <= b.maxlat))
+        rows.extend((b.qid, iid) for iid in images_pdf.image_id[m])
+    exp = pd.DataFrame(rows, columns=["qid", "image_id"]) \
+        .sort_values(["qid", "image_id"]).reset_index(drop=True)
+    assert len(got) > 0
+    pd.testing.assert_frame_equal(got, exp)
+
+
+def test_pip_join_exact(spark, calc, images_pdf):
+    polys = FX.make_polygons_pdf(80)
+    got = SJ.pip_join(calc, polys).toPandas() \
+        .sort_values(["poly_id", "image_id"]).reset_index(drop=True)
+    rows = []
+    for p in polys.itertuples(index=False):
+        inside = K.points_in_polygon(
+            images_pdf.lon.to_numpy(np.float64),
+            images_pdf.lat.to_numpy(np.float64),
+            np.asarray(p.verts_lon, np.float64),
+            np.asarray(p.verts_lat, np.float64))
+        rows.extend((p.poly_id, iid)
+                    for iid in images_pdf.image_id[inside])
+    exp = pd.DataFrame(rows, columns=["poly_id", "image_id"]) \
+        .sort_values(["poly_id", "image_id"]).reset_index(drop=True)
+    assert len(got) > 0
+    pd.testing.assert_frame_equal(got, exp)
+
+
+def test_knn_join_exact(spark, calc, images_pdf):
+    queries = FX.make_knn_queries_pdf(25)
+    got = SJ.knn_join(calc, queries).toPandas() \
+        .sort_values(["qid", "rank"]).reset_index(drop=True)
+    rows = []
+    for q in queries.itertuples(index=False):
+        d = K.haversine_m(images_pdf.lon.values, images_pdf.lat.values,
+                          q.lon, q.lat)
+        order = np.lexsort((images_pdf.image_id.values, d))[: q.k]
+        rows.extend((q.qid, r + 1, images_pdf.image_id.iloc[j])
+                    for r, j in enumerate(order))
+    exp = pd.DataFrame(rows, columns=["qid", "rank", "image_id"]) \
+        .sort_values(["qid", "rank"]).reset_index(drop=True)
+    assert (got.groupby("qid")["rank"].max().sort_index().values
+            == queries.sort_values("qid").k.values).all()
+    pd.testing.assert_frame_equal(
+        got[["qid", "rank", "image_id"]], exp, check_dtype=False)
+
+
+def test_knn_empty_region_expands(spark, calc):
+    # a query at an extreme corner (few points nearby) must still return k
+    q = pd.DataFrame({"qid": [0], "lon": [-1_799_000_000],
+                      "lat": [-849_000_000], "k": [5]})
+    got = SJ.knn_join(calc, q).toPandas()
+    assert len(got) == 5
+
+
+def test_raster_vector_assign(spark, calc, images_pdf):
+    got = SJ.raster_vector_assign(calc).toPandas() \
+        .sort_values(["qt_raster", "cell"]).reset_index(drop=True)
+    qtp = K.calcqts_point(images_pdf.lon.values, images_pdf.lat.values, 18)
+    exp = pd.DataFrame({
+        "qt_raster": K.qt_round(qtp, 10),
+        "cell": K.qt_round(qtp, 7),
+    }).drop_duplicates().sort_values(["qt_raster", "cell"]) \
+        .reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp)
+    # every raster tile maps to exactly one covering cell (nested grids)
+    assert got.groupby("qt_raster").size().max() == 1
+
+
+def test_raster_vector_hilbert_roundtrip(spark, calc):
+    from osmquadtree_rust_bindings_spark import cells as C
+    got = SJ.raster_vector_hilbert(calc).toPandas()
+    # hilbert id decodes back to the morton cell's xy
+    ix, iy = C.cell_to_xy(got.cell_hilbert.to_numpy(np.int64), 7)
+    qx, qy, _ = K.qt_to_cell(K.qt_round(got.qt_raster.to_numpy(np.int64), 7))
+    assert (ix == qx).all() and (iy == qy).all()
+
+
+def test_hilbert_cells_roundtrip():
+    from osmquadtree_rust_bindings_spark import cells as C
+    rng = np.random.default_rng(0)
+    x = rng.integers(0, 1 << 12, 1000)
+    y = rng.integers(0, 1 << 12, 1000)
+    d = C.hilbert_d(x, y, 12)
+    x2, y2 = C.hilbert_xy(d, 12)
+    assert (x2 == x).all() and (y2 == y).all()
+    # adjacency: consecutive hilbert ids are grid neighbors
+    seq = C.hilbert_xy(np.arange(4 ** 6), 6)
+    dist = np.abs(np.diff(seq[0])) + np.abs(np.diff(seq[1]))
+    assert (dist == 1).all()
+
+
+def test_k_ring_covers_block():
+    from osmquadtree_rust_bindings_spark import cells as C
+    cell = C.cell_from_lonlat(np.array([0]), np.array([0]), 12)
+    ring = C.k_ring(cell, 2, 12)
+    ids = ring[ring >= 0]
+    assert len(np.unique(ids)) == 25
