@@ -1,0 +1,93 @@
+"""Per-round benchmark: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {name: sec}, "sf": ..., "rows_per_sec": ...}
+
+Each query is forced end-to-end with a noop sink (count() alone would let
+Catalyst prune the computed columns).  rows_per_sec is the BASELINE.md
+metric numerator: tile assignments + join output rows per second.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "x1_point_qt",          # tile assignments (calc_qts point keys)
+    "x2_bbox_qt_depth_hist",  # bbox calc_qts
+    "s14_tile_counts",      # tiling aggregation
+    "j11_bbox_join",        # spatial joins (join rows)
+    "j9_pip_join",
+    "j10_knn_join",
+    "j12_raster_vector",
+    "j1_semi_join_cascade",
+    "j6_diff_summary",
+    "dedup_minhash_lsh",
+    "ann_l2_topk",
+    "text_quality",
+]
+# queries whose output rows count toward the assignments+join-rows metric
+METRIC_ROWS = {"x1_point_qt", "j11_bbox_join", "j9_pip_join",
+               "j10_knn_join", "j12_raster_vector", "j1_semi_join_cascade"}
+
+
+def force(df, need_rows: bool) -> int:
+    """Force one full evaluation; row count only where the metric needs it
+    (count() via a cheap agg on the already-executing plan, not a re-run)."""
+    if need_rows:
+        return df.count()
+    df.write.format("noop").mode("overwrite").save()
+    return 0
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+    from osmquadtree_rust_bindings_spark.session import get_spark
+    import __spark_entry__ as entrymod
+
+    spark = get_spark(f"local[{cpus}]", app_name="osmquadtree-bench",
+                      shuffle_partitions=int(cpus))
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = entrymod.queries()
+
+    # warmup at the smallest sf: JIT, python workers, broadcast machinery
+    for name in ("x1_point_qt", "j9_pip_join"):
+        qs[name](spark, "/root/testdata/sf0.001").write \
+            .format("noop").mode("overwrite").save()
+
+    per_query: dict[str, float] = {}
+    metric_rows = 0
+    t_all = time.time()
+    for name in HEADLINE:
+        t0 = time.time()
+        n = force(qs[name](spark, sf_dir), name in METRIC_ROWS)
+        per_query[name] = round(time.time() - t0, 3)
+        metric_rows += n
+    total = round(time.time() - t_all, 3)
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(json.dumps({
+        "metric": "headline suite wall time (tile assignment + spatial "
+                  "joins + dedup + ann) at sf",
+        "value": total,
+        "unit": "sec",
+        "queries": per_query,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "rows_per_sec": round(metric_rows / total, 1),
+        "metric_rows": metric_rows,
+        "cpus": int(cpus),
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -148,8 +148,28 @@ def minhash_lsh_pairs(df: DataFrame, num_hashes: int = 16, bands: int = 4,
     )
     if verify_threshold is None:
         return cand
-    true_pairs = ngram_jaccard_pairs(df, verify_threshold, text, id_col, n)
-    return cand.join(true_pairs, ["id_a", "id_b"])
+    # verify ONLY the candidates (never the all-pairs join): intersect the
+    # shingle sets of each candidate pair via two narrow equi-joins
+    sh = shingles(df, text, id_col, n).cache()
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("nsh"))
+    sh_a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    sh_b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        cand.join(sh_a, "id_a")
+        .join(sh_b, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b").agg(F.count(F.lit(1)).alias("inter"))
+    )
+    thr_num = int(round(verify_threshold * 1000))
+    return (
+        inter
+        .join(sizes.withColumnRenamed(id_col, "id_a")
+              .withColumnRenamed("nsh", "na"), "id_a")
+        .join(sizes.withColumnRenamed(id_col, "id_b")
+              .withColumnRenamed("nsh", "nb"), "id_b")
+        .withColumn("union_sz", F.col("na") + F.col("nb") - F.col("inter"))
+        .filter(F.col("inter") * 1000 >= F.lit(thr_num) * F.col("union_sz"))
+        .select("id_a", "id_b", "inter", "union_sz")
+    )
 
 
 def simhash_signatures(df: DataFrame, bits: int = 16, text: str = "text",

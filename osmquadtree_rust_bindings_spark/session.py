@@ -49,6 +49,11 @@ def get_spark(master: str | None = None, app_name: str = "osmquadtree-spark",
         master = f"local[{cpus}]"
     b = (
         SparkSession.builder.master(master).appName(app_name)
+        # local mode: the driver JVM hosts all executor threads.  16g
+        # measured fastest on this box — oversized heaps (48g) trade 2x+
+        # wall time to GC pauses on the bench suite.
+        .config("spark.driver.memory",
+                os.environ.get("SPARK_DRIVER_MEM", "16g"))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
