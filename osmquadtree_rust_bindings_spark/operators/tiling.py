@@ -131,6 +131,26 @@ class QuadtreeTree:
             yield n, self.weight.get(n, 0), self.total.get(n, 0)
 
 
+def choose_plan_depth(df: DataFrame, qt_col: str = "qt",
+                      max_cells: int = 200_000,
+                      maxdepth: int = 17) -> int:
+    """Deepest planning depth whose distinct-cell count stays under
+    ``max_cells`` — ONE pass computing an approx-distinct sketch per depth,
+    so the driver-side tile plan is bounded no matter the corpus size
+    (collecting depth-17 cells of a 10^12-row corpus would be a serial
+    bottleneck; the reference does the equivalent in-RAM on one node)."""
+    aggs = [
+        F.approx_count_distinct(
+            Q.qt_round_dyn(F.col(qt_col), F.lit(d)), 0.05).alias(f"d{d}")
+        for d in range(maxdepth + 1)
+    ]
+    row = df.agg(*aggs).collect()[0]
+    for d in range(maxdepth, -1, -1):
+        if row[f"d{d}"] <= max_cells:
+            return d
+    return 0
+
+
 def prepare_quadtree_tree(df: DataFrame, qt_col: str = "qt",
                           maxdepth: int = 17) -> pd.DataFrame:
     """A9: per-cell weights at ``maxdepth`` — one narrow aggregation.

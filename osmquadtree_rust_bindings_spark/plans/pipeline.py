@@ -47,7 +47,9 @@ class TilingPipeline:
             lambda: CQ.run_calcqts(images.drop("bytes")))
 
         def plan() -> DataFrame:
-            cells = T.prepare_quadtree_tree(calc, "qt", self.group_depth)
+            depth = min(self.group_depth,
+                        T.choose_plan_depth(calc, "qt"))
+            cells = T.prepare_quadtree_tree(calc, "qt", depth)
             groups = T.find_tree_groups(cells, target=self.group_target)
             return spark.createDataFrame(
                 groups.astype({"tile": np.int64, "weight": np.int64}))

@@ -46,8 +46,12 @@ class Catalog:
 
     def write(self, df, name: str, mode: str = "overwrite",
               partition_by: list[str] | None = None) -> dict:
-        snaps = self.snapshots(name) if mode == "append" else []
-        snap_id = len(snaps)
+        # snapshot ids are monotonic even across overwrites so a lazy plan
+        # reading the current snapshot stays valid while the next one is
+        # written (read-modify-write never clobbers the files it reads)
+        prev = self.snapshots(name)
+        snap_id = (max((s["id"] for s in prev), default=-1)) + 1
+        snaps = prev if mode == "append" else []
         path = os.path.join(self._dir(name), f"snap={snap_id}")
         w = df.write.mode("overwrite")
         if partition_by:
