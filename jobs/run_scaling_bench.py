@@ -30,10 +30,10 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-N_IMAGES = int(os.environ.get("SCALING_N", "2000000"))
+N_IMAGES = int(os.environ.get("SCALING_N", "64000000"))
 CORPUS = "/tmp/osmqt_bench/images"
-LEVELS = (int(os.environ.get("SCALING_LEVEL_N", "4")),
-          int(os.environ.get("SCALING_LEVEL_4N", "16")))
+LEVELS = (int(os.environ.get("SCALING_LEVEL_N", "2")),
+          int(os.environ.get("SCALING_LEVEL_4N", "8")))
 
 
 def run_job(spark) -> dict:
@@ -44,11 +44,24 @@ def run_job(spark) -> dict:
     from osmquadtree_rust_bindings_spark.operators import tiling as T
     from osmquadtree_rust_bindings_spark.sources import fixtures as FX
 
-    images = spark.read.parquet(CORPUS)
+    images = spark.read.parquet(CORPUS).select("image_id", "phash", "w", "h")
     t0 = time.time()
 
-    calc = CQ.run_calcqts(images).select(
-        "image_id", "lon", "lat", "qt", "qt_point").cache()
+    # Materialize the calc_qts product once (the reference writes
+    # <fname>-qts.pbf the same way, src/sortblocks.rs:7-21): one parallel
+    # parquet write, then every downstream phase reads plain columns.
+    # Keeping the 18-level descent lazy instead would fuse it into each
+    # consumer's whole-stage-codegen (janino 64KB overflow -> interpreted
+    # fallback) or pin 16M rows in the memory store (block-manager writes
+    # were the worst-scaling phase measured).  Like the reference qts file,
+    # rows are keyed by an i64 id (parsed back from image_id) — writing 64M
+    # 15-char strings into the intermediate costs encode/decode for nothing.
+    qts_path = CORPUS + f"_qts_{spark.sparkContext.defaultParallelism}"
+    CQ.run_calcqts(images).select(
+        F.substring("image_id", 4, 12).cast("long").alias("img_idx"),
+        "lon", "lat", "qt", "qt_point").write.mode(
+        "overwrite").parquet(qts_path)
+    calc = spark.read.parquet(qts_path)
     n_assign = calc.count()
 
     # plan depth 8: bounds distinct cells at <= 4^8 = 65k regardless of
@@ -58,16 +71,18 @@ def run_job(spark) -> dict:
     # that would mask executor scaling)
     cells = T.prepare_quadtree_tree(calc, "qt", 8)
     groups = T.find_tree_groups(cells, target=40_000)
-    tiled = T.assign_tiles(calc, groups, salt_over=100_000)
+    tiled = T.assign_tiles_broadcast(calc.select("img_idx", "qt"), cells,
+                                     groups, plan_depth=8,
+                                     salt_over=100_000)
     tile_checksum = tiled.groupBy("tile", "tile_salt").agg(
         F.count(F.lit(1)).alias("n")).agg(
         F.sum(F.col("tile") % 1_000_003 * F.col("n")).alias("s"),
         F.sum("n").alias("n")).collect()[0]
 
     boxes = FX.make_bbox_queries_pdf(60)
-    bbox_rows = SJ.bbox_join(calc, boxes).count()
+    bbox_rows = SJ.bbox_join(calc, boxes, point_id="img_idx").count()
     polys = FX.make_polygons_pdf(100)
-    pip_rows = SJ.pip_join(calc, polys).count()
+    pip_rows = SJ.pip_join(calc, polys, point_id="img_idx").count()
 
     wall = time.time() - t0
     calc.unpersist()
@@ -88,10 +103,16 @@ def child(level: int) -> None:
     from osmquadtree_rust_bindings_spark.session import get_spark
 
     spark = get_spark(f"local[{level}]", shuffle_partitions=max(level, 8),
-                      app_name=f"osmqt-scaling-{level}")
+                      app_name=f"osmqt-scaling-{level}",
+                      extra_conf={
+                          # ~4 waves of tasks per core at both levels; the
+                          # default 128m cap yields ~12 splits of this corpus
+                          # -> a 1.5-wave straggler tail at the high level
+                          "spark.sql.files.maxPartitionBytes": "32m"})
     spark.sparkContext.setLogLevel("ERROR")
     run_job(spark)  # warmup: JIT, python workers, parquet footer cache
-    res = run_job(spark)
+    runs = [run_job(spark) for _ in range(2)]
+    res = min(runs, key=lambda r: r["wall_sec"])  # steady-state throughput
     print("RESULT " + json.dumps(res))
     spark.stop()
 

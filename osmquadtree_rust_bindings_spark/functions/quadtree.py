@@ -24,9 +24,29 @@ from osmquadtree_rust_bindings_spark.functions.sqlgen import (
 
 
 def _spread_col(c: Column) -> Column:
+    """Bit spread as ONE Column expression.  Each step references its child
+    twice, so the tree holds 2^5 copies of ``c`` — only pass an attribute
+    reference; for computed inputs use :func:`_with_spread_steps` (chained
+    projections) or whole-stage codegen emits 32 copies of the input code
+    and the fused method blows janino's 64 KB limit (silent interpreted
+    fallback, measured ~20x slower)."""
     for shift, mask in _SPREAD_STEPS:
         c = (c.bitwiseOR(F.shiftleft(c, shift))).bitwiseAND(F.lit(mask))
     return c
+
+
+def _with_spread_steps(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Apply the 5 spread steps to ``cols`` in place as 5 chained
+    projections.  Each step's expression references its input twice and is
+    non-cheap, so CollapseProject keeps the projections separate and every
+    step is code-generated exactly once per column."""
+    for shift, mask in _SPREAD_STEPS:
+        df = df.withColumns({
+            c: (F.col(c).bitwiseOR(F.shiftleft(F.col(c), shift)))
+            .bitwiseAND(F.lit(mask))
+            for c in cols
+        })
+    return df
 
 
 def x_norm(lon: Column) -> Column:
@@ -66,13 +86,17 @@ def qt_round(qt: Column, nd: int) -> Column:
 
 
 def qt_round_dyn(qt: Column, nd: Column) -> Column:
-    """round() with per-row depth (depth 0..MAX_DEPTH via literal-mask CASE,
-    so everything stays in codegen — no dynamic shift needed)."""
+    """round() with per-row depth via a dynamic shift:
+    ``(qt & (-1L << (63 - 2*eff))) | eff`` — matches kernels.qt_round for
+    every depth incl. the EMPTY sentinel (-1 has depth bits 31; the shift-1
+    mask OR 31 reproduces -1).  A literal-mask CASE chain here would inline
+    the ``qt`` argument once per branch — catastrophic when ``qt`` is itself
+    the unrolled calc_qts expression (measured 20x slowdown uncached)."""
     eff = F.least(nd, qt.bitwiseAND(F.lit(31)))
-    mask = F.lit(0)
-    for d in range(MAX_DEPTH, 0, -1):
-        mask = F.when(eff == d, F.lit(-(1 << (63 - 2 * d)))).otherwise(mask)
-    return qt.bitwiseAND(mask).bitwiseOR(eff)
+    mask = F.call_function(
+        "shiftleft", F.lit(-1).cast("long"),
+        (F.lit(63) - F.lit(2) * eff).cast("int"))
+    return qt.bitwiseAND(mask).bitwiseOR(eff.cast("long"))
 
 
 def qt_is_parent(parent: Column, child: Column) -> Column:
@@ -92,14 +116,15 @@ def qt_key_range_pred(qt_col: Column, prefix_qt: int) -> Column:
 def with_point_qt(df: DataFrame, lon: str, lat: str,
                   depth: int = MAX_DEPTH, out: str = "qt") -> DataFrame:
     """Append the point calc_qts key — pure Column math, no UDF."""
-    return (
-        df.withColumns({
-            "__ix": grid_index(x_norm(F.col(lon)), depth),
-            "__iy": grid_index(y_norm(F.col(lat)), depth),
-        })
-        .withColumn(out, qt_from_cells(F.col("__ix"), F.col("__iy"), depth))
-        .drop("__ix", "__iy")
-    )
+    df = df.withColumns({
+        "__sx": grid_index(x_norm(F.col(lon)), depth),
+        "__sy": grid_index(y_norm(F.col(lat)), depth),
+    })
+    df = _with_spread_steps(df, ["__sx", "__sy"])
+    morton = F.shiftleft(F.col("__sx"), 1).bitwiseOR(F.col("__sy"))
+    return df.withColumn(
+        out, F.shiftleft(morton, 63 - 2 * depth).bitwiseOR(F.lit(depth))
+    ).drop("__sx", "__sy")
 
 
 def units(norm: Column) -> Column:
@@ -147,22 +172,29 @@ def with_bbox_qt(df: DataFrame, minlon: str, minlat: str, maxlon: str,
             & (y0 >= oy - b) & (y1 <= oy + (s + b))
         )
         depth = depth + ok.cast("int")
-    df = df.withColumn("__fd", depth)
-    sf = F.expr(f"({UNITS} >> __fd)")
+    # The midpoint's depth-d cell is an ancestor of its max-depth cell, so
+    # the final key is round(qt_maxdepth(midpoint), depth): the morton
+    # spread runs ONCE on the max-depth cell index (as chained projections)
+    # instead of on a dynamic floor(mx / (UNITS >> depth)).
+    s18 = UNITS >> max_depth
     df = df.withColumns({
-        "__bix": F.floor(mx / sf).cast("long"),
-        "__biy": F.floor(my / sf).cast("long"),
+        "__sbx": F.floor(mx / s18).cast("long"),
+        "__sby": F.floor(my / s18).cast("long"),
+        "__fd": depth,
     })
-    df = df.withColumn(
-        "__morton",
-        F.shiftleft(_spread_col(F.col("__bix")), 1).bitwiseOR(
-            _spread_col(F.col("__biy"))
-        ),
-    )
-    qt = F.expr("(__morton << (63 - 2 * __fd)) | __fd")
+    df = _with_spread_steps(df, ["__sbx", "__sby"])
+    qt_full = F.shiftleft(
+        F.shiftleft(F.col("__sbx"), 1).bitwiseOR(F.col("__sby")),
+        63 - 2 * max_depth).bitwiseOR(F.lit(max_depth))
+    df = df.withColumn("__qtf", qt_full)
+    # round(__qtf, __fd) with a dynamic shift (SQL shiftleft takes a column
+    # count) — __fd is referenced 2x, still linear overall.
+    qt = F.expr(
+        f"(__qtf & (-1L << (63 - 2 * __fd))) | __fd"
+        if max_depth > 0 else "__fd")
     return df.withColumn(out, qt).drop(
-        "__x0", "__x1", "__y0", "__y1", "__mx", "__my", "__fd",
-        "__bix", "__biy", "__morton",
+        "__x0", "__x1", "__y0", "__y1", "__mx", "__my", "__fd", "__qtf",
+        "__sbx", "__sby",
     )
 
 

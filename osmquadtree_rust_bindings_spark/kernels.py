@@ -282,18 +282,40 @@ def calcqts_bbox(minlon, minlat, maxlon, maxlat,
 
     mx = (x0u + x1u) >> 1
     my = (y0u + y1u) >> 1
+    # Containment at depth d (cell of the fixed midpoint, 0.05-buffered) is
+    # monotone: buffered child cells are nested across depths (5% of a
+    # halved cell extends less than 5% of its parent), so the final depth is
+    # the largest d with cond(d) true — found by binary lifting in 5 probes
+    # instead of 18 sequential levels.  Each probe is pure shift/mask math:
+    # with mx = BUF_DEN*qx + rx0 and cell size s = BUF_DEN << m, the offset
+    # within the cell is mx mod s = BUF_DEN*(qx & (2^m - 1)) + rx0 and the
+    # buffer is exactly b = 1 << m units.
+    qx, rx0 = np.divmod(mx, BUF_DEN)
+    qy, ry0 = np.divmod(my, BUF_DEN)
+    dx0 = mx - x0u
+    dx1 = x1u - mx
+    dy0 = my - y0u
+    dy1 = y1u - my
+    shift0 = int(np.log2(UNITS // (2 * BUF_DEN)))  # s(d) = BUF_DEN << (shift0+1-d)
+
+    def cond(d):
+        """box fits the buffered depth-d cell of the midpoint (d >= 1)."""
+        m = (np.int64(shift0 + 1) - d).astype(np.int64)
+        s = np.int64(BUF_DEN) << m
+        b = np.int64(1) << m
+        rx = BUF_DEN * (qx & (b - 1)) + rx0
+        ry = BUF_DEN * (qy & (b - 1)) + ry0
+        return ((dx0 <= rx + b) & (dx1 <= s - rx + b)
+                & (dy0 <= ry + b) & (dy1 <= s - ry + b))
+
     depth = np.zeros(mx.shape, dtype=np.int64)
-    alive = np.ones(mx.shape, dtype=bool)
-    for k in range(max_depth):
-        s = np.int64(UNITS >> (k + 1))          # child cell size in units
-        b = np.int64(s // BUF_DEN)              # exact 0.05 * s
-        ox = (mx // s) * s
-        oy = (my // s) * s
-        ok = alive \
-            & (x0u >= ox - b) & (x1u <= ox + s + b) \
-            & (y0u >= oy - b) & (y1u <= oy + s + b)
-        depth[ok] = k + 1
-        alive = ok
+    step = 1 << (int(max_depth).bit_length() - 1)  # largest pow2 <= max_depth
+    while step:
+        cand = depth + step
+        valid = cand <= max_depth
+        good = valid & cond(np.where(valid, cand, 1))
+        depth = np.where(good, cand, depth)
+        step >>= 1
     s_f = (np.int64(UNITS) >> depth.astype(np.int64))
     ix = mx // s_f
     iy = my // s_f

@@ -76,12 +76,17 @@ def bbox_join(points: DataFrame, boxes_pdf: pd.DataFrame,
     cov = bbox_cover_cells(boxes_pdf.minlon.values, boxes_pdf.minlat.values,
                            boxes_pdf.maxlon.values, boxes_pdf.maxlat.values,
                            depth)
+    # join on the COMPACT cell index (morton bits only — cover cells are at
+    # fixed depth): raw qt keys near 2^62 defeat LongToUnsafeRowMap's dense
+    # mode and slow the broadcast probe ~10x
+    sh = 63 - 2 * depth
     cov_pdf = pd.DataFrame(
-        [(int(boxes_pdf.qid.iloc[i]), c) for i, c in cov],
+        [(int(boxes_pdf.qid.iloc[i]), c >> sh) for i, c in cov],
         columns=["qid", "cell_cov"],
     ).merge(boxes_pdf, on="qid")
     cov_df = spark.createDataFrame(cov_pdf)
-    pts = points.withColumn("cell_cov", Q.qt_round(F.col(qt_point), depth))
+    pts = points.withColumn(
+        "cell_cov", F.shiftrightunsigned(F.col(qt_point), sh))
     return (
         pts.join(F.broadcast(cov_df), "cell_cov")
         .filter(
@@ -111,8 +116,9 @@ def pip_join(points: DataFrame, polygons_pdf: pd.DataFrame,
     polys = polygons_pdf.reset_index(drop=True)
     cov = bbox_cover_cells(polys.minlon.values, polys.minlat.values,
                            polys.maxlon.values, polys.maxlat.values, depth)
+    sh = 63 - 2 * depth  # compact cell index — see bbox_join
     cov_pdf = pd.DataFrame(
-        [(polys.poly_id.iloc[i], c,
+        [(polys.poly_id.iloc[i], c >> sh,
           int(polys.minlon.iloc[i]), int(polys.minlat.iloc[i]),
           int(polys.maxlon.iloc[i]), int(polys.maxlat.iloc[i]))
          for i, c in cov],
@@ -127,7 +133,8 @@ def pip_join(points: DataFrame, polygons_pdf: pd.DataFrame,
     }
     bc = spark.sparkContext.broadcast(verts)
 
-    pts = points.withColumn("cell_cov", Q.qt_round(F.col(qt_point), depth))
+    pts = points.withColumn(
+        "cell_cov", F.shiftrightunsigned(F.col(qt_point), sh))
     cand = (
         pts.join(F.broadcast(cov_df), "cell_cov")
         .filter(
@@ -172,8 +179,9 @@ def knn_join(points: DataFrame, queries_pdf: pd.DataFrame,
     from pyspark.sql.window import Window
 
     spark = points.sparkSession
+    sh = 63 - 2 * level  # compact cell index — see bbox_join
     pts = points.withColumn(
-        "cell_knn", Q.qt_round(F.col(qt_point), level)).select(
+        "cell_knn", F.shiftrightunsigned(F.col(qt_point), sh)).select(
         "cell_knn", point_id, "lon", "lat")
 
     remaining = queries_pdf.copy()
@@ -198,7 +206,7 @@ def knn_join(points: DataFrame, queries_pdf: pd.DataFrame,
             gx, gy = np.meshgrid(xs, ys)
             cells = K.qt_from_cell(gx.ravel(), gy.ravel(),
                                    np.full(gx.size, level))
-            rows.extend((int(q), int(c)) for c in cells)
+            rows.extend((int(q), int(c) >> sh) for c in cells)
         ring_df = spark.createDataFrame(
             pd.DataFrame(rows, columns=["qid", "cell_knn"]))
         qdf = spark.createDataFrame(

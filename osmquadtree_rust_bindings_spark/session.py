@@ -54,6 +54,13 @@ def get_spark(master: str | None = None, app_name: str = "osmquadtree-spark",
         # wall time to GC pauses on the bench suite.
         .config("spark.driver.memory",
                 os.environ.get("SPARK_DRIVER_MEM", "16g"))
+        # Unrolled kernel expressions (18-level calc_qts descent) generate
+        # one long consume method; HotSpot refuses to JIT methods > 8 KB
+        # bytecode by default, silently running them in the bytecode
+        # interpreter (measured 25x slowdown on the bbox-qt stage).  On a
+        # real cluster the executor JVMs need the same flag.
+        .config("spark.driver.extraJavaOptions", "-XX:-DontCompileHugeMethods")
+        .config("spark.executor.extraJavaOptions", "-XX:-DontCompileHugeMethods")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
