@@ -41,6 +41,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j1_semi_join_cascade": DQ.q_j1_semi_join_cascade,
         "x1_point_qt": DQ.q_x1_point_qt,
         "x2_bbox_qt_depth_hist": DQ.q_x2_bbox_qt_depth_hist,
+        "x4_prefix_range_count": DQ.q_x4_prefix_range_count,
+        "x5_tile_bbox": DQ.q_x5_tile_bbox,
+        "x7b_date_string": DQ.q_x7b_date_string,
+        "x8_mercator": DQ.q_x8_mercator,
+        "s13_ordered_rank": DQ.q_s13_ordered_rank,
+        "s11_image_decode_stats": DQ.q_s11_image_decode_stats,
         "s14_tile_counts": DQ.q_s14_tile_counts,
         "a10_tile_plan": DQ.q_a10_tile_plan,
         "j11_bbox_join": DQ.q_j11_bbox_join,
@@ -52,6 +58,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": DQ.q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": DQ.q_dedup_minhash_lsh,
         "dedup_simhash": DQ.q_dedup_simhash,
+        "dedup_embedding_cosine": DQ.q_dedup_embedding_cosine,
         "text_quality": DQ.q_text_quality,
         "text_langid": DQ.q_text_langid,
         "text_fingerprint": DQ.q_text_fingerprint,

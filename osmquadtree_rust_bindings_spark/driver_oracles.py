@@ -129,6 +129,53 @@ GROUP BY 1"""
 SELECT ((qt & {MASK10}) | 10) AS tile, cast(count(*) as bigint) AS num
 FROM {_point_qt_sub()} GROUP BY 1"""
 
+    mask6 = -(1 << (63 - 2 * 6))
+    tiles6 = (f"(SELECT DISTINCT ((qt & {mask6}) | 6) AS tile "
+              f"FROM {_point_qt_sub()})")
+    o["x5_tile_bbox"] = sqlgen.tile_bbox_sql(tiles6, "tile", 6, buffer=0.05)
+
+    o["x8_mercator"] = sqlgen.mercator_xy_sql(PTS, "rowkey", "lon", "lat")
+
+    o["x7b_date_string"] = """
+SELECT cast(event_id as bigint) AS event_id,
+       strftime(ts, '%Y-%m-%d') AS d,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s
+FROM events"""
+
+    o["s13_ordered_rank"] = f"""
+SELECT rowkey, ((qt & {MASK10}) | 10) AS tile,
+       cast(row_number() OVER (PARTITION BY ((qt & {MASK10}) | 10)
+                               ORDER BY qt, rowkey) as bigint) AS rk
+FROM {_point_qt_sub()}"""
+
+    x4lo, x4hi = sqlgen.qt_key_range(DQ._X4_PREFIX)
+    o["x4_prefix_range_count"] = f"""
+SELECT cast(count(*) as bigint) AS num,
+       min(rowkey) AS min_id, max(rowkey) AS max_id
+FROM {_point_qt_sub()}
+WHERE qt BETWEEN {x4lo} AND {x4hi}"""
+
+    # integer-quantized cosine near-dup (same exact predicate as the engine:
+    # dot > 0 AND dot^2*den^2 >= num^2*|a|^2*|b|^2, num/den = 3/10)
+    o["dedup_embedding_cosine"] = """
+WITH q AS (
+  SELECT vec_id, list_transform(embedding,
+         e -> cast(floor(cast(e AS double) * 1000) AS bigint)) AS v
+  FROM embeddings
+), u AS (
+  SELECT vec_id, unnest(v) AS x, generate_subscripts(v, 1) AS i FROM q
+), d AS (
+  SELECT a.vec_id AS ia, b.vec_id AS ib, sum(a.x * b.x) AS dot
+  FROM u a JOIN u b USING (i) GROUP BY 1, 2
+)
+SELECT cast(p.ia as bigint) AS id_a, cast(p.ib as bigint) AS id_b,
+       cast(p.dot as bigint) AS dot
+FROM d p
+JOIN d na ON na.ia = p.ia AND na.ib = p.ia
+JOIN d nb ON nb.ia = p.ib AND nb.ib = p.ib
+WHERE p.ia < p.ib AND p.dot > 0
+  AND p.dot * p.dot * 100 >= 9 * na.dot * nb.dot"""
+
     o["j12_raster_vector"] = f"""
 SELECT DISTINCT ((qt & {MASK10}) | 10) AS qt_raster,
                 ((qt & {MASK7}) | 7) AS cell

@@ -21,6 +21,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from osmquadtree_rust_bindings_spark import kernels as _K
 from osmquadtree_rust_bindings_spark.functions import quadtree as Q
 from osmquadtree_rust_bindings_spark.functions import sqlgen
 from osmquadtree_rust_bindings_spark.operators import count as CNT
@@ -39,10 +40,10 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 # identical formula text for Spark selectExpr and DuckDB (floor then cast:
 # duckdb's cast(double as bigint) ROUNDS, spark truncates — floor avoids both)
 ROWKEY = "(l_orderkey * 8 + l_linenumber)"
-LON = ("cast(floor((({rk} * 2654435761) % 4294967296) / 4294967296.0 "
-       "* 3600000000) as bigint) - 1800000000").format(rk=ROWKEY)
-LAT = ("cast(floor((({rk} * 40503 + 2654435769) % 4294967296) / 4294967296.0 "
-       "* 1700000000) as bigint) - 850000000").format(rk=ROWKEY)
+LON = ("cast(floor((({rk} * 2654435761) % 4294967296) / 4.294967296e9 "
+       "* 3.6e9) as bigint) - 1800000000").format(rk=ROWKEY)
+LAT = ("cast(floor((({rk} * 40503 + 2654435769) % 4294967296) / 4.294967296e9 "
+       "* 1.7e9) as bigint) - 850000000").format(rk=ROWKEY)
 # footprint half-sizes (int 1e-7 deg), like w/h * ground_res / 2
 HALFW = f"(({ROWKEY} % 97 + 1) * 80000)"
 HALFH = f"(({ROWKEY} % 53 + 1) * 80000)"
@@ -53,9 +54,9 @@ PTS_SQL = (f"SELECT DISTINCT {ROWKEY} AS rowkey, {LON} AS lon, {LAT} AS lat, "
            f"{HALFW} AS halfw, {HALFH} AS halfh FROM lineitem")
 
 CUST_LON = ("cast(floor(((c_custkey * 2654435761) % 4294967296) "
-            "/ 4294967296.0 * 3600000000) as bigint) - 1800000000")
+            "/ 4.294967296e9 * 3.6e9) as bigint) - 1800000000")
 CUST_LAT = ("cast(floor(((c_custkey * 40503 + 2654435769) % 4294967296) "
-            "/ 4294967296.0 * 1700000000) as bigint) - 850000000")
+            "/ 4.294967296e9 * 1.7e9) as bigint) - 850000000")
 
 BBOX_LIT = (-600_000_000, -300_000_000, 900_000_000, 500_000_000)
 
@@ -291,6 +292,94 @@ def q_f8_idset_semi_join(spark, sf_dir):
             F.count(F.lit(1)).cast("long").alias("n"),
             F.min("event_id").cast("long").alias("min_id"))
         .select(F.col("user_id").cast("long").alias("user_id"), "n", "min_id")
+    )
+
+
+def q_x5_tile_bbox(spark, sf_dir):
+    # X5 Quadtree.as_bbox(buffer): distinct depth-6 tiles -> buffered cell
+    # bbox via the shared sqlgen fragment (same text as the oracle)
+    pts = _pts_with_qt(spark, sf_dir)
+    tiles = pts.select(Q.qt_round(F.col("qt_point"), 6).alias("tile")) \
+        .distinct()
+    tiles.createOrReplaceTempView("__tiles_x5")
+    return spark.sql(sqlgen.tile_bbox_sql("__tiles_x5", "tile", 6,
+                                          buffer=0.05))
+
+
+def q_x8_mercator(spark, sf_dir):
+    # X8 LonLat.forward — mercator meters, floored to ints
+    _pts(spark, sf_dir).createOrReplaceTempView("__pts_x8")
+    return spark.sql(sqlgen.mercator_xy_sql("__pts_x8", "rowkey",
+                                            "lon", "lat"))
+
+
+def q_x7b_date_string(spark, sf_dir):
+    # X7 timestamp_string/date_string formatting helpers
+    ev = _read(spark, sf_dir, "events")
+    return ev.select(
+        F.col("event_id").cast("long").alias("event_id"),
+        F.date_format("ts", "yyyy-MM-dd").alias("d"),
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"))
+
+
+def q_s13_ordered_rank(spark, sf_dir):
+    # S13 write_merged_sort semantics: canonical (qt, id) order inside each
+    # tile, materialized as a rank so the compare is order-sensitive
+    from pyspark.sql.window import Window
+
+    pts = _pts_with_qt(spark, sf_dir)
+    tile = Q.qt_round(F.col("qt_point"), 10)
+    w = Window.partitionBy(tile).orderBy(F.col("qt_point").asc(),
+                                         F.col("rowkey").asc())
+    return pts.select(
+        F.col("rowkey").cast("long").alias("rowkey"),
+        tile.alias("tile"),
+        F.row_number().over(w).cast("long").alias("rk"))
+
+
+# depth-5 probe cell for the prefix-range pruning predicate (F6/X4):
+# covers a fixed band; lo/hi literals shared with the oracle text
+_X4_PREFIX = int(np.asarray(_K.qt_from_cell(17, 11, 5)))
+
+
+def q_x4_prefix_range_count(spark, sf_dir):
+    # F6/§4 partition pruning: descendant-of-prefix as a contiguous i64
+    # BETWEEN range (pushes to parquet min/max stats)
+    lo, hi = sqlgen.qt_key_range(_X4_PREFIX)
+    pts = _pts_with_qt(spark, sf_dir)
+    return pts.filter(F.col("qt_point").between(lo, hi)).agg(
+        F.count(F.lit(1)).cast("long").alias("num"),
+        F.min("rowkey").cast("long").alias("min_id"),
+        F.max("rowkey").cast("long").alias("max_id"))
+
+
+def q_dedup_embedding_cosine(spark, sf_dir):
+    # embedding-cosine near-dup pairs; integer-quantized exact predicate
+    emb = _read(spark, sf_dir, "embeddings")
+    out = SIM.cosine_near_dup_pairs(emb, threshold_num=3, threshold_den=10)
+    return out.select(F.col("id_a").cast("long").alias("id_a"),
+                      F.col("id_b").cast("long").alias("id_b"),
+                      F.col("dot").cast("long").alias("dot"))
+
+
+def q_s11_image_decode_stats(spark, sf_dir):
+    # S11 per-blob decode + the input_hint payload invariant (decoded-pixel
+    # equality / PSNR>=40dB + caption equality) over a deterministic
+    # synthetic corpus; binary codec -> rows-only check (no SQL oracle)
+    from osmquadtree_rust_bindings_spark.operators import images as IMG
+    from osmquadtree_rust_bindings_spark.sources import images as SRC
+
+    pdf = SRC.make_images_pdf(0, 2000)
+    df = spark.createDataFrame(pdf).repartition(8)
+    v = IMG.verify_payload(df)
+    return (
+        df.select("image_id", "fmt").join(v, "image_id")
+        .groupBy("fmt").agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.col("pixels_ok").cast("long")).alias("n_pixels_ok"),
+            F.sum(F.col("caption_ok").cast("long")).alias("n_caption_ok"),
+            F.min(F.floor(F.least(F.col("psnr"), F.lit(9999.0)) * 100)
+                  .cast("long")).alias("min_psnr_centi"))
     )
 
 

@@ -4,7 +4,11 @@ One source of truth for the scalar quadtree math, so the Spark engine
 (via ``F.expr``) and the DuckDB correctness oracle execute literally the
 same formula text — no engine/oracle drift possible.  Verified operator
 parity: ``<< >> & |`` on BIGINT, ``ln/tan/pi/radians/floor/least/greatest``
-give bit-identical doubles on this container.
+give bit-identical doubles on this container.  Float literals MUST be
+scientific notation (1e7, 3.6e2): a bare ``10000000.0`` parses as DECIMAL
+in Spark SQL (DOUBLE in the Column API), and decimal-typed intermediates
+round differently from DuckDB — measured as a 1-in-46k floor() boundary
+flip before this rule.
 
 Mirrors kernels.py (the numpy oracle); normative spec is SURVEY.md §8.
 """
@@ -27,13 +31,13 @@ _SPREAD_STEPS = (
 
 def x_norm(lon: str) -> str:
     """int 1e-7 deg lon → normalized x in [0,1)."""
-    return f"((({lon}) / 10000000.0 + 180.0) / 360.0)"
+    return f"((({lon}) / 1e7 + 1.8e2) / 3.6e2)"
 
 
 def y_norm(lat: str) -> str:
     """int 1e-7 deg lat → normalized mercator y in [0,1)."""
     return (
-        f"((ln(tan(pi() / 4 + (({lat}) / 10000000.0) * (pi() / 180) / 2)) / pi()"
+        f"((ln(tan(pi() / 4 + (({lat}) / 1e7) * (pi() / 180) / 2)) / pi()"
         f" + 1.0) / 2.0)"
     )
 
@@ -42,14 +46,14 @@ def grid_index(norm: str, depth: int) -> str:
     """normalized coord → clipped cell index at ``depth`` (BIGINT)."""
     n = 1 << depth
     return (
-        f"least(greatest(cast(floor(({norm}) * {n}.0) as bigint), 0), {n - 1})"
+        f"least(greatest(cast(floor(({norm}) * {n}e0) as bigint), 0), {n - 1})"
     )
 
 
 def units(norm: str) -> str:
     """normalized coord → integer descent units (BIGINT), clipped."""
     return (
-        f"least(greatest(cast(floor(({norm}) * {UNITS}.0) as bigint), 0),"
+        f"least(greatest(cast(floor(({norm}) * {UNITS}e0) as bigint), 0),"
         f" {UNITS - 1})"
     )
 
@@ -91,6 +95,68 @@ def qt_key_range(qt_int: int) -> tuple[int, int]:
     d = qt_int & 31
     span = (1 << (63 - 2 * d)) - 1
     return qt_int, qt_int | span
+
+
+_COMPACT_STEPS = (
+    (1, 0x3333333333333333),
+    (2, 0x0F0F0F0F0F0F0F0F),
+    (4, 0x00FF00FF00FF00FF),
+    (8, 0x0000FFFF0000FFFF),
+    (16, 0xFFFFFFFF),
+)
+
+
+def compact(e: str) -> str:
+    """Inverse of :func:`spread` (de-interleave even bits).  Same warning:
+    duplicates ``e`` 2^5 times — pass a bare column reference."""
+    e = f"(({e}) & {0x5555555555555555})"
+    for shift, mask in _COMPACT_STEPS:
+        e = f"((({e}) | (({e}) >> {shift})) & {mask})"
+    return e
+
+
+def inv_merc_lat(y: str) -> str:
+    """normalized mercator y in [-1, 1] → latitude degrees."""
+    return f"((2 * atan(exp(({y}) * pi())) - pi() / 2) * (180 / pi()))"
+
+
+def tile_bbox_sql(table: str, qt: str, depth: int,
+                  buffer: float = 0.0) -> str:
+    """Per-row cell bbox of fixed-depth keys, int 1e-7 deg, expanded by
+    ``buffer`` per side (reference Quadtree.as_bbox, src/elements.rs:41-44).
+    Same text runs on Spark and DuckDB."""
+    sh = 63 - 2 * depth
+    size = format(2.0 ** -depth, ".17e")
+    b = format(buffer * 2.0 ** -depth, ".17e")
+    ix = compact(f"__m >> 1")
+    iy = compact("__m")
+    return f"""
+SELECT {qt} AS tile,
+       cast(round(((__ix) * {size} - {b}) * 3.6e2 * 1e7
+                  - 1.8e9) as bigint) AS minlon,
+       cast(round(((__ix + 1) * {size} + {b}) * 3.6e2 * 1e7
+                  - 1.8e9) as bigint) AS maxlon,
+       cast(round({inv_merc_lat(f'(2 * ((__iy) * {size} - {b}) - 1)')}
+                  * 1e7) as bigint) AS minlat,
+       cast(round({inv_merc_lat(f'(2 * ((__iy + 1) * {size} + {b}) - 1)')}
+                  * 1e7) as bigint) AS maxlat
+FROM (
+  SELECT {qt}, {ix} AS __ix, {iy} AS __iy
+  FROM (SELECT {qt}, (({qt}) >> {sh}) AS __m FROM {table})
+)"""
+
+
+def mercator_xy_sql(table: str, key: str, lon: str, lat: str) -> str:
+    """Spherical web-mercator forward (reference LonLat::forward,
+    src/geometry.rs:176-183): meters, floored to ints for exact compare."""
+    scale = "(6378137e0 * pi())"
+    merc = (f"(ln(tan(pi() / 4 + (({lat}) / 1e7) * (pi() / 180) / 2))"
+            f" / pi())")
+    return f"""
+SELECT {key},
+       cast(floor((({lon}) / 1e7) / 1.8e2 * {scale}) as bigint) AS mx,
+       cast(floor({merc} * {scale}) as bigint) AS my
+FROM {table}"""
 
 
 def point_qt_sql(table: str, key: str, lon: str, lat: str,

@@ -85,6 +85,38 @@ def cosine_topk(embeddings: DataFrame, queries: DataFrame, k: int = 10,
     )
 
 
+def cosine_near_dup_pairs(embeddings: DataFrame, threshold_num: int = 3,
+                          threshold_den: int = 10, id_col: str = "vec_id",
+                          vec_col: str = "embedding") -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (id_a < id_b) with
+    cos(a, b) >= threshold_num / threshold_den.
+
+    Exact and engine-portable: vectors are QUANT-quantized to ints and the
+    threshold test is pure integer arithmetic —
+        dot > 0  AND  dot^2 * den^2 >= num^2 * |a|^2 * |b|^2
+    so no float-sum ordering can flip a boundary pair (the dedup analogue of
+    l2_topk's integer scoring).  This all-pairs form is the verify stage /
+    exactness oracle; at 10^12 rows candidates come from the LSH bucket
+    join (ann_lsh_topk) and only candidate pairs run this predicate.
+    Overflow bound: |q_i| <= QUANT, dim <= 64 -> dot^2 * den^2 < 2^63 for
+    den <= 10.  Output: (id_a, id_b, dot)."""
+    e = embeddings.select(F.col(id_col).alias("id_a"),
+                          _quantized(F.col(vec_col)).alias("__va"))
+    b = embeddings.select(F.col(id_col).alias("id_b"),
+                          _quantized(F.col(vec_col)).alias("__vb"))
+    pairs = e.crossJoin(F.broadcast(b)).filter(F.col("id_a") < F.col("id_b"))
+    pairs = pairs.withColumns({
+        "dot": _dot_int(F.col("__va"), F.col("__vb")),
+        "__na": _dot_int(F.col("__va"), F.col("__va")),
+        "__nb": _dot_int(F.col("__vb"), F.col("__vb")),
+    })
+    keep = (F.col("dot") > 0) & (
+        F.col("dot") * F.col("dot") * (threshold_den * threshold_den)
+        >= F.lit(threshold_num * threshold_num) * F.col("__na") * F.col("__nb")
+    )
+    return pairs.filter(keep).select("id_a", "id_b", "dot")
+
+
 def _plane_coeff(j: int, d: int) -> int:
     """Deterministic integer hyperplane coefficients in [-3, 3]."""
     return ((j * 31 + d * 17 + (j * d) % 11) % 7) - 3
