@@ -19,7 +19,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 # md5-hex -> 60-bit int, identical value obtainable in DuckDB via
 # cast(('0x' || substring(md5(x),1,15)) as bigint)
@@ -42,21 +41,21 @@ def shingles(df: DataFrame, text: str = "text", id_col: str = "doc_id",
              n: int = 2) -> DataFrame:
     """Word n-gram shingles: (id, shingle) distinct.
 
-    posexplode(split) + (n-1) chained lead() windows — stays in SQL land;
-    the window is per-document (partition by id) so it scales with document
-    length, not corpus size.
+    Pure array algebra — split → transform(sequence)/slice/array_join →
+    explode — so shingling runs inside whole-stage codegen with ZERO
+    shuffle (the earlier lead()-window formulation shuffled the whole
+    corpus by doc_id before the minhash agg even started; at 100 TB that
+    shuffle dwarfs the agg itself).  distinct() still shuffles, but on the
+    much smaller (id, shingle) projection with partial dedup map-side.
     """
-    words = df.select(
-        F.col(id_col),
-        F.posexplode(F.split(F.col(text), " ")).alias("pos", "w0"),
-    )
-    w = Window.partitionBy(id_col).orderBy("pos")
-    cols = [F.col("w0")]
-    for i in range(1, n):
-        words = words.withColumn(f"w{i}", F.lead("w0", i).over(w))
-        cols.append(F.col(f"w{i}"))
-    sh = words.filter(F.col(f"w{n-1}").isNotNull()).select(
-        F.col(id_col), F.concat_ws(" ", *cols).alias("shingle"))
+    pre = df.select(F.col(id_col), F.split(F.col(text), " ").alias("_ws"))
+    grams = F.when(
+        F.size("_ws") >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size("_ws") - (n - 1)),
+            lambda i: F.array_join(F.slice(F.col("_ws"), i, n), " ")),
+    ).otherwise(F.array().cast("array<string>"))
+    sh = pre.select(F.col(id_col), F.explode(grams).alias("shingle"))
     return sh.distinct()
 
 
@@ -103,11 +102,17 @@ def _hash_params(num_hashes: int) -> list[tuple[int, int]]:
 
 def minhash_signatures(df: DataFrame, num_hashes: int = 16,
                        text: str = "text", id_col: str = "doc_id",
-                       n: int = 2) -> DataFrame:
+                       n: int = 2, _shingles: DataFrame | None = None
+                       ) -> DataFrame:
     """MinHash signature per doc: min over shingles of (a*h + b) mod P for
     each hash i — a single groupBy over the exploded shingle stream.
+    Pass ``_shingles`` to reuse an already-materialized shingle stream
+    (minhash_lsh_pairs shares one cached pass between the signature and
+    verification stages — at corpus scale the shingle scan is the most
+    expensive input and must not run twice).
     Output: (id, mh0..mh{k-1})."""
-    sh = shingles(df, text, id_col, n).withColumn(
+    sh = (_shingles if _shingles is not None
+          else shingles(df, text, id_col, n)).withColumn(
         "h", F.expr(WORD_HASH.format(col="shingle"))
         % F.lit(2147483647))  # 31-bit reduce: a*h must stay inside int64
     aggs = [
@@ -128,7 +133,9 @@ def minhash_lsh_pairs(df: DataFrame, num_hashes: int = 16, bands: int = 4,
     shingle index (cover-and-refine, like the spatial joins).
     Output: (id_a, id_b[, inter, union_sz])."""
     rows = num_hashes // bands
-    sig = minhash_signatures(df, num_hashes, text, id_col, n).cache()
+    sh = shingles(df, text, id_col, n).cache()
+    sig = minhash_signatures(df, num_hashes, text, id_col, n,
+                             _shingles=sh).cache()
     bucket_cols = []
     for b in range(bands):
         cols = [F.col(f"mh{b * rows + r}") for r in range(rows)]
@@ -149,8 +156,8 @@ def minhash_lsh_pairs(df: DataFrame, num_hashes: int = 16, bands: int = 4,
     if verify_threshold is None:
         return cand
     # verify ONLY the candidates (never the all-pairs join): intersect the
-    # shingle sets of each candidate pair via two narrow equi-joins
-    sh = shingles(df, text, id_col, n).cache()
+    # shingle sets of each candidate pair via two narrow equi-joins over
+    # the SAME cached shingle stream the signatures were built from
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("nsh"))
     sh_a = sh.select(F.col(id_col).alias("id_a"), "shingle")
     sh_b = sh.select(F.col(id_col).alias("id_b"), "shingle")
