@@ -394,4 +394,39 @@ SELECT cast(bucket as bigint) AS bucket,
        cast(min(vec_id) as bigint) AS min_id
 FROM b GROUP BY bucket"""
 
+    from osmquadtree_rust_bindings_spark.operators.similarity import centroids
+    cent_rows = ", ".join(
+        f"({c}, [{', '.join(str(x) for x in cent)}])"
+        for c, cent in enumerate(centroids(8, 64)))
+    o["ann_ivf_topk"] = f"""
+WITH e AS (SELECT vec_id, list_transform(embedding,
+             x -> cast(floor(cast(x as double) * 1000) as bigint)) AS v
+           FROM embeddings),
+cents AS (SELECT * FROM (VALUES {cent_rows}) t(c, cent)),
+d AS (SELECT e.vec_id, e.v, cents.c,
+             cast(list_sum(list_transform(range(1, 65),
+                  i -> (e.v[i] - cents.cent[i]) * (e.v[i] - cents.cent[i])))
+                  as bigint) AS dist,
+             row_number() OVER (PARTITION BY e.vec_id
+                                ORDER BY cast(list_sum(list_transform(
+                                  range(1, 65), i -> (e.v[i] - cents.cent[i])
+                                  * (e.v[i] - cents.cent[i]))) as bigint) ASC,
+                                cents.c ASC) AS rn
+      FROM e CROSS JOIN cents),
+ecell AS (SELECT vec_id, v, c AS cell FROM d WHERE rn = 1),
+qp AS (SELECT vec_id AS qid, v AS qv, c AS cell FROM d
+       WHERE vec_id < 4 AND rn <= 2),
+scored AS (SELECT qp.qid, ecell.vec_id,
+                  cast(list_sum(list_transform(range(1, 65),
+                       i -> (ecell.v[i] - qp.qv[i])
+                       * (ecell.v[i] - qp.qv[i]))) as bigint) AS dist2
+           FROM ecell JOIN qp USING (cell))
+SELECT cast(qid as bigint) AS qid, cast(rank as bigint) AS rank,
+       cast(vec_id as bigint) AS vec_id, dist2
+FROM (SELECT qid, vec_id, dist2,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY dist2 ASC, vec_id ASC) AS rank
+      FROM scored)
+WHERE rank <= 10"""
+
     return o

@@ -474,3 +474,16 @@ def q_ann_cosine_topk(spark, sf_dir):
     return out.select(F.col("qid").cast("long").alias("qid"),
                       F.col("rank").cast("long").alias("rank"),
                       F.col("vec_id").cast("long").alias("vec_id"))
+
+
+def q_ann_ivf_topk(spark, sf_dir):
+    # IVF coarse index (8 deterministic integer centroids), nprobe=2 of 8
+    # cells probed, exact integer-L2 re-rank — the inverted-file scale path
+    emb = _read(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec"))
+    out = SIM.ann_ivf_topk(emb, queries, dim=64, k=10, cells=8, nprobe=2)
+    return out.select(F.col("qid").cast("long").alias("qid"),
+                      F.col("rank").cast("long").alias("rank"),
+                      F.col("vec_id").cast("long").alias("vec_id"),
+                      F.col("dist2").cast("long").alias("dist2"))

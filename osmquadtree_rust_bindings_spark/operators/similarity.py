@@ -117,6 +117,84 @@ def cosine_near_dup_pairs(embeddings: DataFrame, threshold_num: int = 3,
     return pairs.filter(keep).select("id_a", "id_b", "dot")
 
 
+def _centroid_coeff(c: int, d: int) -> int:
+    """Deterministic integer centroid component, QUANT scale, in
+    [-QUANT, QUANT].  Pure positive-integer arithmetic so the identical
+    value is reproducible in any SQL engine (no RNG, no floats)."""
+    return ((c * 2654435761 + d * 40503 + ((c + 1) * (d + 1)) % 101)
+            % (2 * QUANT + 1)) - QUANT
+
+
+def centroids(cells: int, dim: int) -> list[list[int]]:
+    return [[_centroid_coeff(c, d) for d in range(dim)] for c in range(cells)]
+
+
+def with_ivf_cell(df: DataFrame, dim: int, cells: int = 8,
+                  vec_col: str = "embedding", out: str = "cell",
+                  _keep_dists: bool = False) -> DataFrame:
+    """IVF coarse quantizer: assign each vector to its nearest centroid
+    (integer squared-L2, ties -> lowest cell id).  The centroid set is tiny
+    and baked into the plan as literals, so assignment is a pure projection:
+    no shuffle, no Python, and at 10^12 rows it runs in the same scan that
+    reads the vectors.  Writing/partitioning by ``cell`` afterwards gives
+    the inverted-file layout that makes probes a pruned equi-join."""
+    df = df.withColumn("__vq", _quantized(F.col(vec_col)))
+    dists = []
+    for c, cent in enumerate(centroids(cells, dim)):
+        lit = F.array(*[F.lit(x) for x in cent])
+        dists.append(
+            F.aggregate(F.zip_with(F.col("__vq"), lit,
+                                   lambda x, y: (x - y) * (x - y)),
+                        F.lit(0).cast("long"), lambda acc, v: acc + v))
+    darr = F.array(*dists)
+    df = df.withColumn("__ds", darr).withColumn(
+        out, (F.array_position(F.col("__ds"), F.array_min(F.col("__ds")))
+              - 1).cast("int"))
+    if not _keep_dists:
+        df = df.drop("__ds")
+    return df.drop("__vq")
+
+
+def ann_ivf_topk(embeddings: DataFrame, queries: DataFrame, dim: int,
+                 k: int = 10, cells: int = 8, nprobe: int = 2,
+                 id_col: str = "vec_id", vec_col: str = "embedding",
+                 qid_col: str = "qid", qvec_col: str = "qvec") -> DataFrame:
+    """IVF ANN: search only the ``nprobe`` cells whose centroids are
+    closest to the query, exact integer-L2 re-rank inside them.
+
+    Scale path: vectors carry a precomputed ``cell`` (with_ivf_cell) and
+    live in cell-partitioned storage; each query explodes into nprobe
+    (cell, query) probe rows and the candidate set is a broadcast equi-join
+    on cell — the O(N*Q) brute-force scan becomes O(N*Q*nprobe/cells).
+    Probe order is encoded as dist2*cells + cell so tie-breaking (equal
+    centroid distance -> lower cell id) is integer-exact in any engine.
+    With nprobe == cells this is exhaustive and equals l2_topk exactly.
+    Output: (qid, rank, vec_id, dist2)."""
+    e = with_ivf_cell(embeddings, dim, cells, vec_col).select(
+        F.col(id_col), _quantized(F.col(vec_col)).alias("__v"), "cell")
+    q = with_ivf_cell(queries, dim, cells, qvec_col, _keep_dists=True)
+    keys = F.transform(
+        F.col("__ds"),
+        lambda d, i: d * cells + i.cast("long"))
+    probes = F.transform(F.slice(F.sort_array(keys), 1, nprobe),
+                         lambda x: (x % cells).cast("int"))
+    q = q.select(F.col(qid_col), _quantized(F.col(qvec_col)).alias("__q"),
+                 F.explode(probes).alias("cell"))
+    cand = e.join(F.broadcast(q), "cell").withColumn(
+        "dist2",
+        F.aggregate(F.zip_with(F.col("__v"), F.col("__q"),
+                               lambda x, y: (x - y) * (x - y)),
+                    F.lit(0).cast("long"), lambda acc, v: acc + v),
+    )
+    w = Window.partitionBy(qid_col).orderBy(
+        F.col("dist2").asc(), F.col(id_col).asc())
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(qid_col, "rank", id_col, "dist2")
+    )
+
+
 def _plane_coeff(j: int, d: int) -> int:
     """Deterministic integer hyperplane coefficients in [-3, 3]."""
     return ((j * 31 + d * 17 + (j * d) % 11) % 7) - 3
