@@ -47,6 +47,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x8_mercator": DQ.q_x8_mercator,
         "s13_ordered_rank": DQ.q_s13_ordered_rank,
         "s11_image_decode_stats": DQ.q_s11_image_decode_stats,
+        "s11b_audio_features": DQ.q_s11b_audio_features,
         "s14_tile_counts": DQ.q_s14_tile_counts,
         "a10_tile_plan": DQ.q_a10_tile_plan,
         "j11_bbox_join": DQ.q_j11_bbox_join,

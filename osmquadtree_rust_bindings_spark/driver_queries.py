@@ -487,3 +487,25 @@ def q_ann_ivf_topk(spark, sf_dir):
                       F.col("rank").cast("long").alias("rank"),
                       F.col("vec_id").cast("long").alias("vec_id"),
                       F.col("dist2").cast("long").alias("dist2"))
+
+
+def q_s11b_audio_features(spark, sf_dir):
+    # S11 analogue for the audio modality: opaque PCM payload -> integer
+    # features in one Arrow pass; binary codec -> rows-only check.
+    # All-integer aggregate keeps the output hash-stable across runs.
+    from osmquadtree_rust_bindings_spark.operators import images as IMG
+    from osmquadtree_rust_bindings_spark.sources import audio as SRC
+
+    pdf = SRC.make_audio_pdf(0, 1500)
+    df = spark.createDataFrame(pdf).repartition(8)
+    feats = IMG.audio_features(df)
+    return (
+        feats.withColumn("dur_bucket", (F.col("duration_ms") / 25)
+                         .cast("long"))
+        .groupBy("dur_bucket").agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("n_samples").cast("long").alias("sum_samples"),
+            F.min("rms").cast("long").alias("min_rms"),
+            F.max("peak").cast("long").alias("max_peak"),
+            F.sum("zero_crossings").cast("long").alias("sum_zc"))
+    )

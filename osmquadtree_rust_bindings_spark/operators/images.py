@@ -96,6 +96,39 @@ def resize_nearest(df: DataFrame, out_w: int, out_h: int) -> DataFrame:
         fn, schema="image_id string, bytes binary, w int, h int")
 
 
+AUDIO_FEATURES_SCHEMA = ("clip_id string, n_samples long, duration_ms long, "
+                         "rms long, peak long, zero_crossings long")
+
+
+def audio_features(df: DataFrame) -> DataFrame:
+    """Audio feature extraction: decode PCM payload -> integer features
+    (duration, RMS, peak, zero-crossings) in one Arrow-batched pass.
+    All-integer outputs so downstream aggregations are engine-exact.
+    Decode uses the package PCM codec (sources.audio); a real mp3/flac
+    library would replace only the decode call."""
+    from osmquadtree_rust_bindings_spark.sources import audio as A
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for r in b.itertuples(index=False):
+                s, sr = A.decode_audio(r.bytes)
+                x = s.astype(np.int64)
+                rows.append((
+                    r.clip_id, len(x), len(x) * 1000 // sr,
+                    int(np.sqrt(np.sum(x * x) // max(len(x), 1))),
+                    int(np.abs(x).max(initial=0)),
+                    int(np.count_nonzero(np.signbit(x[1:]) !=
+                                         np.signbit(x[:-1]))),
+                ))
+            yield pd.DataFrame(rows, columns=[
+                "clip_id", "n_samples", "duration_ms", "rms", "peak",
+                "zero_crossings"])
+
+    return df.select("clip_id", "bytes").mapInPandas(
+        fn, schema=AUDIO_FEATURES_SCHEMA)
+
+
 def sample_video_frames(df: DataFrame, every_n: int = 30) -> DataFrame:
     """Video frame-sampling plumbing (schema + batching are real; decode is
     stubbed until a video codec lib exists in the image)."""

@@ -81,3 +81,30 @@ def test_skewed_lonlat_hotspots():
     hot = np.abs(lon - I.HOTSPOTS[0][0]) < 2_000_000
     assert hot.sum() > 100  # a real cluster forms
     assert lon.min() >= -1_800_000_000 and lat.max() < 850_000_000
+
+
+def test_audio_codec_roundtrip():
+    from osmquadtree_rust_bindings_spark.sources import audio as A
+
+    s = A.gen_samples(7, 999)
+    dec, sr = A.decode_audio(A.encode_audio(s))
+    assert sr == A.SAMPLE_RATE
+    assert np.array_equal(s, dec)
+
+
+def test_audio_features_match_local_oracle(spark):
+    from osmquadtree_rust_bindings_spark.operators import images as OPI2
+    from osmquadtree_rust_bindings_spark.sources import audio as A
+
+    pdf = A.make_audio_pdf(0, 40)
+    feats = OPI2.audio_features(
+        spark.createDataFrame(pdf).repartition(4)).toPandas()
+    assert len(feats) == 40
+    row = feats[feats.clip_id == "clip00000005"].iloc[0]
+    x = A.gen_samples(5, int(pdf[pdf.clip_id == "clip00000005"]
+                             .n_samples.iloc[0])).astype(np.int64)
+    assert row.n_samples == len(x)
+    assert row.rms == int(np.sqrt(np.sum(x * x) // len(x)))
+    assert row.peak == int(np.abs(x).max())
+    assert row.zero_crossings == int(np.count_nonzero(
+        np.signbit(x[1:]) != np.signbit(x[:-1])))
