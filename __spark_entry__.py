@@ -43,6 +43,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x2_bbox_qt_depth_hist": DQ.q_x2_bbox_qt_depth_hist,
         "x4_prefix_range_count": DQ.q_x4_prefix_range_count,
         "x5_tile_bbox": DQ.q_x5_tile_bbox,
+        "x10_geojson": DQ.q_x10_geojson,
+        "j7_line_assembly": DQ.q_j7_line_assembly,
         "x7b_date_string": DQ.q_x7b_date_string,
         "x8_mercator": DQ.q_x8_mercator,
         "s13_ordered_rank": DQ.q_s13_ordered_rank,

@@ -134,6 +134,21 @@ FROM {_point_qt_sub()} GROUP BY 1"""
               f"FROM {_point_qt_sub()})")
     o["x5_tile_bbox"] = sqlgen.tile_bbox_sql(tiles6, "tile", 6, buffer=0.05)
 
+    o["x10_geojson"] = sqlgen.geojson_bbox_sql(tiles6, "tile", 6,
+                                               buffer=0.05)
+
+    # independent formulation: window lag per way vs the engine's array fold
+    o["j7_line_assembly"] = f"""
+WITH n AS (SELECT rowkey // 8 AS way_id, rowkey % 8 AS pos, lon, lat
+           FROM {PTS}),
+d AS (SELECT way_id, pos,
+             abs(lon - lag(lon) OVER w) + abs(lat - lag(lat) OVER w) AS seg
+      FROM n WINDOW w AS (PARTITION BY way_id ORDER BY pos))
+SELECT cast(way_id as bigint) AS way_id,
+       cast(count(*) as bigint) AS npts,
+       cast(coalesce(sum(seg), 0) as bigint) AS mlen
+FROM d GROUP BY way_id"""
+
     o["x8_mercator"] = sqlgen.mercator_xy_sql(PTS, "rowkey", "lon", "lat")
 
     o["x7b_date_string"] = """

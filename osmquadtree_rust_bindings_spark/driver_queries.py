@@ -509,3 +509,38 @@ def q_s11b_audio_features(spark, sf_dir):
             F.max("peak").cast("long").alias("max_peak"),
             F.sum("zero_crossings").cast("long").alias("sum_zc"))
     )
+
+
+def q_x10_geojson(spark, sf_dir):
+    # X10 to_geojson (reference src/geometry.rs:243-253): depth-6 tile cells
+    # serialized as GeoJSON Polygon Features; int-unit coordinates keep the
+    # text byte-identical across engines (shared sqlgen fragment)
+    pts = _pts_with_qt(spark, sf_dir)
+    pts.select(Q.qt_round(F.col("qt_point"), 6).alias("tile")).distinct() \
+        .createOrReplaceTempView("__tiles_x10")
+    return spark.sql(sqlgen.geojson_bbox_sql("__tiles_x10", "tile", 6,
+                                             buffer=0.05))
+
+
+def q_j7_line_assembly(spark, sf_dir):
+    # J7 way-geometry join (reference src/geometry.rs:760-814): re-assemble
+    # each 'way' (order) from its positioned nodes — collect_list +
+    # sort_array preserves ref order without a window shuffle — then fold
+    # the vertex array into an integer Manhattan length (engine-exact).
+    pts = _pts(spark, sf_dir)
+    nodes = pts.select(
+        (F.col("rowkey") / 8).cast("long").alias("way_id"),
+        (F.col("rowkey") % 8).cast("int").alias("pos"), "lon", "lat")
+    ways = nodes.groupBy("way_id").agg(
+        F.sort_array(F.collect_list(F.struct("pos", "lon", "lat")))
+        .alias("line"))
+    n = F.size("line")
+    seglen = F.aggregate(
+        F.zip_with(F.slice(F.col("line"), 1, F.greatest(n - 1, F.lit(0))),
+                   F.slice(F.col("line"), 2, F.greatest(n - 1, F.lit(0))),
+                   lambda a, b: F.abs(a.lon - b.lon) + F.abs(a.lat - b.lat)),
+        F.lit(0).cast("long"), lambda acc, v: acc + v)
+    return ways.select(
+        F.col("way_id").cast("long").alias("way_id"),
+        n.cast("long").alias("npts"),
+        F.when(n > 1, seglen).otherwise(F.lit(0)).cast("long").alias("mlen"))

@@ -218,3 +218,23 @@ SELECT {key},
        (((({spread('__ix')}) << 1) | ({spread('__iy')})) << (63 - 2 * fd) | fd)
        AS {out}
 FROM __cells"""
+
+
+def geojson_bbox_sql(table: str, qt: str, depth: int,
+                     buffer: float = 0.0) -> str:
+    """X10 to_geojson analogue (reference src/geometry.rs:243-253): cell
+    bbox as a GeoJSON Polygon Feature string.  Coordinates stay int 1e-7
+    deg units so the serialized text is byte-identical on any engine (no
+    float formatting); same fragment text runs on Spark and DuckDB."""
+    inner = tile_bbox_sql(table, qt, depth, buffer)
+    ring = ("'[[' || minlon || ',' || minlat || '],[' || "
+            "maxlon || ',' || minlat || '],[' || "
+            "maxlon || ',' || maxlat || '],[' || "
+            "minlon || ',' || maxlat || '],[' || "
+            "minlon || ',' || minlat || ']]'")
+    return f"""
+SELECT tile,
+       '{{"type":"Feature","properties":{{"tile":' || tile
+       || '}},"geometry":{{"type":"Polygon","coordinates":[' || {ring}
+       || ']}}}}' AS geojson
+FROM ({inner})"""
