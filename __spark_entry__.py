@@ -56,6 +56,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j9_pip_join": DQ.q_j9_pip_join,
         "j10_knn_join": DQ.q_j10_knn_join,
         "j12_raster_vector": DQ.q_j12_raster_vector,
+        "j8_multipolygon_assembly": DQ.q_j8_multipolygon_assembly,
         "f8_idset_semi_join": DQ.q_f8_idset_semi_join,
         "dedup_exact": DQ.q_dedup_exact,
         "dedup_ngram_jaccard": DQ.q_dedup_ngram_jaccard,

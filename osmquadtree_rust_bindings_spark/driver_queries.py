@@ -544,3 +544,23 @@ def q_j7_line_assembly(spark, sf_dir):
         F.col("way_id").cast("long").alias("way_id"),
         n.cast("long").alias("npts"),
         F.when(n > 1, seglen).otherwise(F.lit(0)).cast("long").alias("mlen"))
+
+
+def q_j8_multipolygon_assembly(spark, sf_dir):
+    # J8 relation-geometry assembly (reference src/geometry.rs:513-591):
+    # ring stitch is a per-relation graph walk -> applyInPandas kernel;
+    # deterministic fixture, rows-only check (graph walk has no SQL twin)
+    from osmquadtree_rust_bindings_spark.operators import geometry as G
+
+    mem, ways, nodes = G.make_multipolygon_fixture(200)
+    out = G.assemble_multipolygons(
+        spark.createDataFrame(mem).repartition(8),
+        spark.createDataFrame(ways).repartition(8),
+        spark.createDataFrame(nodes).repartition(8))
+    return out.select(
+        F.col("rel_id").cast("long").alias("rel_id"), "role",
+        F.col("ring_idx").cast("long").alias("ring_idx"),
+        F.col("nways").cast("long").alias("nways"),
+        F.col("npts").cast("long").alias("npts"), "closed",
+        F.col("area2").cast("long").alias("area2"),
+        F.col("nreversed").cast("long").alias("nreversed"))
