@@ -409,6 +409,33 @@ SELECT cast(bucket as bigint) AS bucket,
        cast(min(vec_id) as bigint) AS min_id
 FROM b GROUP BY bucket"""
 
+    o["ann_cosine_topk"] = """
+WITH e AS (SELECT vec_id, list_transform(embedding,
+             x -> cast(floor(cast(x as double) * 1000) as bigint)) AS v
+           FROM embeddings),
+q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 3),
+s AS (SELECT q.qid, e.vec_id,
+        cast(list_sum(list_transform(range(1, 65),
+             i -> e.v[i] * q.qv[i])) as bigint) AS dot,
+        cast(list_sum(list_transform(range(1, 65),
+             i -> e.v[i] * e.v[i])) as bigint) AS na,
+        cast(list_sum(list_transform(range(1, 65),
+             i -> q.qv[i] * q.qv[i])) as bigint) AS nb
+      FROM e CROSS JOIN q),
+sc AS (SELECT qid, vec_id,
+         cast(sign(dot) as bigint)
+         * cast(floor(1000000.0 * cast(dot as double) * cast(dot as double)
+                      / (cast(na as double) * cast(nb as double)))
+                as bigint) AS score
+       FROM s)
+SELECT cast(qid as bigint) AS qid, cast(rank as bigint) AS rank,
+       cast(vec_id as bigint) AS vec_id, cast(score as bigint) AS score
+FROM (SELECT qid, vec_id, score,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY score DESC, vec_id ASC) AS rank
+      FROM sc)
+WHERE rank <= 10"""
+
     from osmquadtree_rust_bindings_spark.operators.similarity import centroids
     cent_rows = ", ".join(
         f"({c}, [{', '.join(str(x) for x in cent)}])"

@@ -466,14 +466,17 @@ def q_ann_lsh_bucket_hist(spark, sf_dir):
 
 
 def q_ann_cosine_topk(spark, sf_dir):
-    # engine-only (float scores; no SQL oracle by design)
+    # engine-exact cosine ranking: sign(dot) * floor(1e6 * dot^2 / norms)
+    # over quantized ints — every double is integer-valued < 2^53, so the
+    # score (hence rank) is bit-identical in DuckDB -> full value oracle
     emb = _read(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec"))
-    out = SIM.cosine_topk(emb, queries, k=10)
+    out = SIM.cosine_topk_exact(emb, queries, k=10)
     return out.select(F.col("qid").cast("long").alias("qid"),
                       F.col("rank").cast("long").alias("rank"),
-                      F.col("vec_id").cast("long").alias("vec_id"))
+                      F.col("vec_id").cast("long").alias("vec_id"),
+                      F.col("score").cast("long").alias("score"))
 
 
 def q_ann_ivf_topk(spark, sf_dir):
@@ -564,3 +567,19 @@ def q_j8_multipolygon_assembly(spark, sf_dir):
         F.col("npts").cast("long").alias("npts"), "closed",
         F.col("area2").cast("long").alias("area2"),
         F.col("nreversed").cast("long").alias("nreversed"))
+
+
+def q_a11_tile_assign(spark, sf_dir):
+    # A11 longest-prefix tile assignment (QuadtreeTree.find,
+    # src/sortblocks.rs:78-81): driver bin-packed plan (A10) broadcast as a
+    # sorted root array, per-row assignment via vectorized searchsorted;
+    # engine-only (plan is driver-side) -> rows-only check
+    pts = _pts_with_qt(spark, sf_dir)
+    cells = TIL.prepare_quadtree_tree(pts, "qt_point", maxdepth=10)
+    groups = TIL.find_tree_groups(cells, target=2000)
+    assigned = TIL.assign_tiles(pts, groups, qt_col="qt_point")
+    return (assigned.groupBy("tile")
+            .agg(F.count(F.lit(1)).cast("long").alias("num"),
+                 F.min("rowkey").cast("long").alias("min_id"))
+            .select(F.col("tile").cast("long").alias("tile"),
+                    "num", "min_id"))

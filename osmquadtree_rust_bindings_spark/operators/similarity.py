@@ -85,6 +85,42 @@ def cosine_topk(embeddings: DataFrame, queries: DataFrame, k: int = 10,
     )
 
 
+def cosine_topk_exact(embeddings: DataFrame, queries: DataFrame, k: int = 10,
+                      id_col: str = "vec_id", vec_col: str = "embedding",
+                      qid_col: str = "qid", qvec_col: str = "qvec"
+                      ) -> DataFrame:
+    """Brute-force cosine top-k with an engine-exact score.
+
+    score = sign(dot) * floor(1e6 * dot^2 / (|v|^2 |q|^2)) over
+    QUANT-quantized vectors — strictly monotone in cosine (sign splits the
+    halves; cos^2 is monotone within each), and every intermediate double
+    is an exactly-representable integer < 2^53, so the IEEE division and
+    floor produce bit-identical scores on any engine.  Ties break by id.
+    Output: (qid, rank, vec_id, score)."""
+    e = embeddings.select(F.col(id_col),
+                          _quantized(F.col(vec_col)).alias("__v"))
+    q = queries.select(F.col(qid_col),
+                       _quantized(F.col(qvec_col)).alias("__q"))
+    scored = e.crossJoin(F.broadcast(q)).withColumns({
+        "__dot": _dot_int(F.col("__v"), F.col("__q")),
+        "__na": _dot_int(F.col("__v"), F.col("__v")),
+        "__nb": _dot_int(F.col("__q"), F.col("__q")),
+    }).withColumn(
+        "score",
+        (F.signum("__dot").cast("long")
+         * F.floor(F.lit(1e6) * F.col("__dot").cast("double")
+                   * F.col("__dot").cast("double")
+                   / (F.col("__na").cast("double")
+                      * F.col("__nb").cast("double")))).cast("long"))
+    w = Window.partitionBy(qid_col).orderBy(
+        F.col("score").desc(), F.col(id_col).asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(qid_col, "rank", id_col, "score")
+    )
+
+
 def cosine_near_dup_pairs(embeddings: DataFrame, threshold_num: int = 3,
                           threshold_den: int = 10, id_col: str = "vec_id",
                           vec_col: str = "embedding") -> DataFrame:
