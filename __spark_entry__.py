@@ -40,6 +40,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j6_diff_summary": DQ.q_j6_diff_summary,
         "j1_semi_join_cascade": DQ.q_j1_semi_join_cascade,
         "x1_point_qt": DQ.q_x1_point_qt,
+        "x1b_qt_views": DQ.q_x1b_qt_views,
         "x2_bbox_qt_depth_hist": DQ.q_x2_bbox_qt_depth_hist,
         "x4_prefix_range_count": DQ.q_x4_prefix_range_count,
         "x5_tile_bbox": DQ.q_x5_tile_bbox,

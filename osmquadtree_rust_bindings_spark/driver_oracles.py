@@ -137,6 +137,8 @@ FROM {_point_qt_sub()} GROUP BY 1"""
     o["x10_geojson"] = sqlgen.geojson_bbox_sql(tiles6, "tile", 6,
                                                buffer=0.05)
 
+    o["x1b_qt_views"] = sqlgen.qt_views_sql(tiles6, "tile", 6)
+
     # independent formulation: window lag per way vs the engine's array fold
     o["j7_line_assembly"] = f"""
 WITH n AS (SELECT rowkey // 8 AS way_id, rowkey % 8 AS pos, lon, lat

@@ -583,3 +583,13 @@ def q_a11_tile_assign(spark, sf_dir):
                  F.min("rowkey").cast("long").alias("min_id"))
             .select(F.col("tile").cast("long").alias("tile"),
                     "num", "min_id"))
+
+
+def q_x1b_qt_views(spark, sf_dir):
+    # X1 Quadtree views (reference src/elements.rs:29-36): the i64 key's
+    # slippy (x, y, z) tuple + 'ABCD' path string for depth-6 tiles;
+    # shared sqlgen fragment text on both engines
+    pts = _pts_with_qt(spark, sf_dir)
+    pts.select(Q.qt_round(F.col("qt_point"), 6).alias("tile")).distinct() \
+        .createOrReplaceTempView("__tiles_x1b")
+    return spark.sql(sqlgen.qt_views_sql("__tiles_x1b", "tile", 6))

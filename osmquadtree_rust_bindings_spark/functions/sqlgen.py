@@ -238,3 +238,23 @@ SELECT tile,
        || '}},"geometry":{{"type":"Polygon","coordinates":[' || {ring}
        || ']}}}}' AS geojson
 FROM ({inner})"""
+
+
+def qt_views_sql(table: str, qt: str, depth: int) -> str:
+    """X1 Quadtree views (reference src/elements.rs:29-36): i64 key ->
+    slippy tuple (x, y, z) + 'ABCD' digit-path string, for fixed-depth
+    keys.  Same fragment text on Spark and DuckDB."""
+    sh = 63 - 2 * depth
+    ix = compact("__m >> 1")
+    iy = compact("__m")
+    digs = ", ".join(
+        f"substr('ABCD', cast(((tile) >> {61 - 2 * i}) & 3 as int) + 1, 1)"
+        for i in range(depth))
+    return f"""
+SELECT tile, cast({depth} as bigint) AS z,
+       cast(__x as bigint) AS x, cast(__y as bigint) AS y,
+       concat({digs}) AS qt_str
+FROM (
+  SELECT tile, {ix} AS __x, {iy} AS __y
+  FROM (SELECT {qt} AS tile, (({qt}) >> {sh}) AS __m FROM {table})
+)"""
