@@ -79,3 +79,47 @@ def stream_cdc_apply(spark: SparkSession, changes_path: str, schema: str,
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_first_seen(stream_df: DataFrame, key_col: str = "image_id",
+                      group_col: str = "tile",
+                      timeout_ms: int | None = None) -> DataFrame:
+    """Cross-micro-batch first-seen dedup, stateful per tile group
+    (applyInPandasWithState).  Emits each (group, key) the first time it is
+    ever seen across the life of the stream; re-deliveries in later batches
+    are suppressed by the per-group state.
+
+    Scale shape: state is partitioned BY TILE (the same key the batch
+    engine shuffles on), so each state partition holds one tile's id set —
+    bounded by tile weight, which the A10 planner already caps at the group
+    target.  Production would age state with a timeout (pass timeout_ms)
+    or swap the exact id set for a Bloom filter; the operator contract is
+    unchanged.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def fn(key, pdfs, state):
+        seen = set(state.get[0]) if state.exists else set()
+        out = []
+        for pdf in pdfs:
+            fresh = pdf.loc[~pdf[key_col].isin(seen), key_col]
+            if len(fresh):
+                uniq = fresh.drop_duplicates()
+                seen.update(uniq)
+                out.append(uniq)
+        if timeout_ms is not None:
+            state.setTimeoutDuration(timeout_ms)
+        state.update((sorted(seen),))
+        ids = pd.concat(out) if out else pd.Series([], dtype=object)
+        yield pd.DataFrame({group_col: key[0], key_col: ids})
+
+    timeout = (GroupStateTimeout.ProcessingTimeTimeout
+               if timeout_ms is not None else GroupStateTimeout.NoTimeout)
+    return stream_df.groupBy(group_col).applyInPandasWithState(
+        fn,
+        outputStructType=f"{group_col} long, {key_col} string",
+        stateStructType="seen array<string>",
+        outputMode="append",
+        timeoutConf=timeout,
+    )

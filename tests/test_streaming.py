@@ -69,3 +69,34 @@ def test_stream_cdc_apply(spark, tmp_path):
     got = cat.read(spark, "t").toPandas().sort_values("id")
     assert got.id.tolist() == [1, 2, 4]
     assert got.val.tolist() == ["a", "B", "d"]
+
+
+def test_stream_first_seen_dedup_across_batches(spark, tmp_path):
+    src = str(tmp_path / "fs_src")
+    out = str(tmp_path / "fs_out")
+    ckp = str(tmp_path / "fs_ckp")
+
+    def drain(lo, hi):
+        pdf = I.make_images_pdf(lo, hi, with_bytes=False)[["image_id",
+                                                           "phash"]]
+        pdf["tile"] = pdf.phash.to_numpy(np.int64) % 4
+        spark.createDataFrame(pdf[["image_id", "tile"]]) \
+            .write.mode("append").parquet(src)
+        stream = spark.readStream.schema("image_id string, tile long") \
+            .format("parquet").load(src)
+        q = (ING.stream_first_seen(stream)
+             .writeStream.format("parquet").option("path", out)
+             .option("checkpointLocation", ckp)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    drain(0, 300)
+    got1 = spark.read.parquet(out).toPandas()
+    assert sorted(got1.image_id) == sorted(
+        I.make_images_pdf(0, 300, with_bytes=False).image_id)
+
+    # second batch overlaps [100, 300) — only [300, 500) may come out
+    drain(100, 500)
+    got2 = spark.read.parquet(out).toPandas()
+    assert len(got2) == 500
+    assert got2.image_id.nunique() == 500
