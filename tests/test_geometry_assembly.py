@@ -73,3 +73,62 @@ def test_open_ring_flagged(spark):
     assert len(out) == 1
     assert not out.closed.iloc[0]
     assert out.area2.iloc[0] == 0
+
+
+# ---------------------------------------------------- property: ring walk
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.data())
+def test_stitch_recovers_any_segmented_ring(data):
+    """Any closed ring, cut at random points into segments with random
+    per-segment reversal and random way-id order, stitches back into ONE
+    closed ring with the same vertex count and |area|."""
+    import numpy as np
+
+    from osmquadtree_rust_bindings_spark.operators.geometry import (
+        _area2,
+        _stitch_role,
+    )
+
+    nv = data.draw(st.integers(4, 24))
+    # star-shaped (hence simple) polygon around origin, integer coords
+    radii = data.draw(st.lists(st.integers(10, 1000),
+                               min_size=nv, max_size=nv))
+    ang = np.linspace(0, 2 * np.pi, nv, endpoint=False)
+    xs = (np.array(radii) * np.cos(ang) * 100).astype(np.int64)
+    ys = (np.array(radii) * np.sin(ang) * 100).astype(np.int64)
+    node_ids = list(range(100, 100 + nv))
+    ring = list(zip(node_ids, xs, ys))
+    want_area = abs(_area2(np.array(
+        [[x, y] for _, x, y in ring] + [[ring[0][1], ring[0][2]]],
+        dtype=np.int64)))
+
+    ncuts = data.draw(st.integers(2, min(nv, 6)))
+    cuts = sorted(data.draw(st.lists(
+        st.integers(0, nv - 1), min_size=ncuts, max_size=ncuts,
+        unique=True)))
+    segs = []
+    for i, c in enumerate(cuts):
+        nxt = cuts[(i + 1) % len(cuts)]
+        idx = [(c + j) % nv for j in range(
+            ((nxt - c) % nv or nv) + 1)]  # inclusive of both endpoints
+        pts = [ring[j] for j in idx]
+        if data.draw(st.booleans()):
+            pts = pts[::-1]
+        segs.append(pts)
+    wids = data.draw(st.permutations(list(range(len(segs)))))
+    seg_in = sorted(
+        (wid, [p[0] for p in pts],
+         np.array([[p[1], p[2]] for p in pts], dtype=np.int64))
+        for wid, pts in zip(wids, segs))
+
+    rings = _stitch_role(seg_in)
+    assert len(rings) == 1
+    ways, revs, xy, closed = rings[0]
+    assert closed
+    assert len(xy) == nv + 1
+    assert abs(_area2(xy)) == want_area
