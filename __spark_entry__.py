@@ -71,6 +71,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_l2_topk": DQ.q_ann_l2_topk,
         "ann_ivf_topk": DQ.q_ann_ivf_topk,
         "ann_lsh_bucket_hist": DQ.q_ann_lsh_bucket_hist,
+        "ann_lsh_multiprobe": DQ.q_ann_lsh_multiprobe,
         "ann_cosine_topk": DQ.q_ann_cosine_topk,
     }
 

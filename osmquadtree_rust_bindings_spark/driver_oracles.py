@@ -438,6 +438,46 @@ FROM (SELECT qid, vec_id, score,
       FROM sc)
 WHERE rank <= 10"""
 
+    # multi-probe LSH: same plane-coefficient formula as the bucket hist,
+    # margins encoded |dot|*8+j, flips via xor with 2^j
+    dcols = []
+    for j in range(8):
+        coeff = (f"((({j} * 31 + (i - 1) * 17 + ({j} * (i - 1)) % 11) % 7)"
+                 f" - 3)")
+        dcols.append(
+            f"cast(list_sum(list_transform(range(1, 65), "
+            f"i -> v[i] * {coeff})) as bigint) AS d{j}")
+    bucket8 = " + ".join(
+        f"(CASE WHEN d{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(8))
+    margins8 = ", ".join(f"abs(d{j}) * 8 + {j}" for j in range(8))
+    flip_case = " ".join(
+        f"WHEN {j} THEN {1 << j}" for j in range(8))
+    o["ann_lsh_multiprobe"] = f"""
+WITH e AS (SELECT vec_id, list_transform(embedding,
+             x -> cast(floor(cast(x as double) * 1000) as bigint)) AS v
+           FROM embeddings),
+d AS (SELECT vec_id, v, {', '.join(dcols)} FROM e),
+b AS (SELECT vec_id, v, ({bucket8}) AS bucket,
+             [{margins8}] AS margins FROM d),
+qp AS (SELECT vec_id AS qid, v AS qv,
+              unnest(list_distinct(list_prepend(bucket,
+                list_transform(list_slice(list_sort(margins), 1, 2),
+                  x -> xor(bucket, cast(CASE x % 8 {flip_case} END
+                                        as bigint)))))) AS bucket
+       FROM b WHERE vec_id < 3),
+scored AS (SELECT qp.qid, b.vec_id,
+                  cast(list_sum(list_transform(range(1, 65),
+                       i -> (b.v[i] - qp.qv[i]) * (b.v[i] - qp.qv[i])))
+                       as bigint) AS dist2
+           FROM b JOIN qp USING (bucket))
+SELECT cast(qid as bigint) AS qid, cast(rank as bigint) AS rank,
+       cast(vec_id as bigint) AS vec_id, dist2
+FROM (SELECT qid, vec_id, dist2,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY dist2 ASC, vec_id ASC) AS rank
+      FROM scored)
+WHERE rank <= 10"""
+
     from osmquadtree_rust_bindings_spark.operators.similarity import centroids
     cent_rows = ", ".join(
         f"({c}, [{', '.join(str(x) for x in cent)}])"

@@ -593,3 +593,17 @@ def q_x1b_qt_views(spark, sf_dir):
     pts.select(Q.qt_round(F.col("qt_point"), 6).alias("tile")).distinct() \
         .createOrReplaceTempView("__tiles_x1b")
     return spark.sql(sqlgen.qt_views_sql("__tiles_x1b", "tile", 6))
+
+
+def q_ann_lsh_multiprobe(spark, sf_dir):
+    # multi-probe LSH: probe own bucket + (nprobe-1) lowest-|margin| plane
+    # flips; margin encoding |dot|*planes+j makes probe order integer-exact
+    emb = _read(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec"))
+    out = SIM.ann_lsh_multiprobe_topk(emb, queries, dim=64, k=10,
+                                      planes=8, nprobe=3)
+    return out.select(F.col("qid").cast("long").alias("qid"),
+                      F.col("rank").cast("long").alias("rank"),
+                      F.col("vec_id").cast("long").alias("vec_id"),
+                      F.col("dist2").cast("long").alias("dist2"))

@@ -238,17 +238,70 @@ def _plane_coeff(j: int, d: int) -> int:
 
 def with_lsh_bucket(df: DataFrame, dim: int, planes: int = 8,
                     vec_col: str = "embedding",
-                    out: str = "bucket") -> DataFrame:
+                    out: str = "bucket",
+                    _keep_dots: bool = False) -> DataFrame:
     """Random-hyperplane LSH bucket: bit j = sign of <v_int, plane_j>.
-    Integer dot products -> exact, portable bucket ids."""
+    Integer dot products -> exact, portable bucket ids.  With
+    ``_keep_dots`` the per-plane dots stay as array column ``__pd``
+    (multi-probe uses |dot| as the flip margin)."""
     v = _quantized(F.col(vec_col))
     df = df.withColumn("__vq", v)
+    dots = []
     bucket = F.lit(0)
     for j in range(planes):
         coeffs = F.array(*[F.lit(_plane_coeff(j, d)) for d in range(dim)])
         dot = _dot_int(F.col("__vq"), coeffs)
+        dots.append(dot)
         bucket = bucket + F.when(dot > 0, F.lit(1 << j)).otherwise(F.lit(0))
-    return df.withColumn(out, bucket).drop("__vq")
+    df = df.withColumn(out, bucket)
+    if _keep_dots:
+        df = df.withColumn("__pd", F.array(*dots))
+    return df.drop("__vq")
+
+
+def ann_lsh_multiprobe_topk(embeddings: DataFrame, queries: DataFrame,
+                            dim: int, k: int = 10, planes: int = 8,
+                            nprobe: int = 3, id_col: str = "vec_id",
+                            vec_col: str = "embedding", qid_col: str = "qid",
+                            qvec_col: str = "qvec") -> DataFrame:
+    """Multi-probe LSH ANN: besides the query's own bucket, probe the
+    buckets reached by flipping the (nprobe-1) planes with the smallest
+    |margin| (|<q, plane>|) — the classic multi-probe sequence, fully
+    deterministic (margin ties break on lower plane index via the
+    margin*planes+j encoding, same trick as the IVF probe order).
+
+    Pure Column algebra: the probe list is sort_array over encoded margins,
+    the flip is an XOR with 2^j (exact double -> long for j < 53); the
+    candidate set stays a broadcast equi-join on bucket.  nprobe=1 reduces
+    exactly to ann_lsh_topk.  Output: (qid, rank, vec_id, dist2)."""
+    e = with_lsh_bucket(embeddings, dim, planes, vec_col).select(
+        F.col(id_col), _quantized(F.col(vec_col)).alias("__v"), "bucket")
+    q = with_lsh_bucket(
+        queries.withColumnRenamed(qvec_col, "__qv"), dim, planes, "__qv",
+        _keep_dots=True)
+    margins = F.transform(
+        F.col("__pd"),
+        lambda d, i: F.abs(d) * planes + i.cast("long"))
+    flips = F.transform(
+        F.slice(F.sort_array(margins), 1, nprobe - 1),
+        lambda x: F.col("bucket").bitwiseXOR(
+            F.pow(F.lit(2.0), (x % planes).cast("double")).cast("long")))
+    probes = F.array_union(F.array(F.col("bucket")), flips)
+    q = q.select(F.col(qid_col), _quantized(F.col("__qv")).alias("__q"),
+                 F.explode(probes).alias("bucket"))
+    cand = e.join(F.broadcast(q), "bucket").withColumn(
+        "dist2",
+        F.aggregate(F.zip_with(F.col("__v"), F.col("__q"),
+                               lambda x, y: (x - y) * (x - y)),
+                    F.lit(0).cast("long"), lambda acc, v: acc + v),
+    )
+    w = Window.partitionBy(qid_col).orderBy(
+        F.col("dist2").asc(), F.col(id_col).asc())
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(qid_col, "rank", id_col, "dist2")
+    )
 
 
 def ann_lsh_topk(embeddings: DataFrame, queries: DataFrame, dim: int,

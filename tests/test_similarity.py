@@ -67,3 +67,25 @@ def test_partial_probe_is_subset_with_high_recall(emb, queries):
     # nprobe=2/8 on this corpus keeps recall useful (tracked, not tuned)
     recall = len(got & exact) / len(exact)
     assert recall >= 0.3, recall
+
+
+def test_multiprobe_nprobe1_equals_single_bucket(emb, queries):
+    single = _norm(SIM.ann_lsh_topk(emb, queries, DIM, k=10,
+                                    planes=8).toPandas())
+    multi = _norm(SIM.ann_lsh_multiprobe_topk(emb, queries, DIM, k=10,
+                                              planes=8, nprobe=1).toPandas())
+    pd.testing.assert_frame_equal(single, multi, check_dtype=False)
+
+
+def test_multiprobe_recall_monotone(emb, queries):
+    brute = SIM.l2_topk(emb, queries, k=10).toPandas()
+    exact = set(zip(brute.qid, brute.vec_id))
+
+    def recall(nprobe):
+        got = SIM.ann_lsh_multiprobe_topk(
+            emb, queries, DIM, k=10, planes=8, nprobe=nprobe).toPandas()
+        return len(set(zip(got.qid, got.vec_id)) & exact) / len(exact)
+
+    r1, r3, r5 = recall(1), recall(3), recall(5)
+    assert r1 <= r3 <= r5
+    assert r5 > r1  # extra probes actually add candidates on this corpus
