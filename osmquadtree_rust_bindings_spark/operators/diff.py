@@ -97,3 +97,18 @@ def apply_changes(base: DataFrame, changes: DataFrame, key: list[str],
     cols = base.columns
     return kept.select(*cols).unionByName(
         eff.select(*cols)).join(dropped, key, "left_anti")
+
+
+def compare_datasets_json(left: DataFrame, right: DataFrame, key: list[str],
+                          compare_cols: list[str],
+                          max_result_len: int | None = None) -> DataFrame:
+    """compare_pbf_files_json (src/count.rs:558-574): the J6 diff rows
+    serialized as one JSON object per divergence — (diff_class, doc json).
+    Pure ``to_json(struct(...))``; same classification as
+    compare_datasets."""
+    out = compare_datasets(left, right, key, compare_cols, max_result_len)
+    if max_result_len is None:
+        out = out.filter(F.col("diff_class") != "same")
+    return out.select(
+        "diff_class",
+        F.to_json(F.struct(*key, F.col("diff_class"))).alias("doc"))

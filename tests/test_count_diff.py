@@ -132,3 +132,17 @@ def test_apply_changes(spark):
     # 1 kept, 2 modified, 3 deleted, 4 kept, 5 created, 6 remove-noop
     assert got.id.tolist() == [1, 2, 4, 5]
     assert got.val.tolist() == ["a", "B", "d", "E"]
+
+
+def test_compare_datasets_json(spark):
+    import pandas as pd
+
+    from osmquadtree_rust_bindings_spark.operators import diff as DIFF
+
+    l = spark.createDataFrame(pd.DataFrame({"id": [1, 2, 3], "v": [1, 1, 1]}))
+    r = spark.createDataFrame(pd.DataFrame({"id": [2, 3, 4], "v": [1, 9, 1]}))
+    got = DIFF.compare_datasets_json(l, r, ["id"], ["v"]).toPandas()
+    by = dict(zip(got.diff_class, got.doc))
+    assert set(got.diff_class) == {"only_left", "only_right", "different_v"}
+    assert by["only_left"] == '{"id":1,"diff_class":"only_left"}'
+    assert by["different_v"] == '{"id":3,"diff_class":"different_v"}'
