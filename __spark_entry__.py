@@ -39,6 +39,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j5_apply_changes": DQ.q_j5_apply_changes,
         "j6_diff_summary": DQ.q_j6_diff_summary,
         "j1_semi_join_cascade": DQ.q_j1_semi_join_cascade,
+        "j1b_exnodes": DQ.q_j1b_exnodes,
         "x1_point_qt": DQ.q_x1_point_qt,
         "x1b_qt_views": DQ.q_x1b_qt_views,
         "x2_bbox_qt_depth_hist": DQ.q_x2_bbox_qt_depth_hist,

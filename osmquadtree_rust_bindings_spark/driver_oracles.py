@@ -114,6 +114,18 @@ FROM orders WHERE o_custkey IN (
     FROM customer)
   WHERE lon >= {x0} AND lon <= {x1} AND lat >= {y0} AND lat <= {y1})"""
 
+    o["j1b_exnodes"] = f"""
+WITH sp AS (SELECT s_suppkey, {DQ.SUPP_LON} AS lon, {DQ.SUPP_LAT} AS lat
+            FROM supplier),
+inb AS (SELECT s_suppkey FROM sp
+        WHERE lon >= {x0} AND lon <= {x1} AND lat >= {y0} AND lat <= {y1}),
+sel AS (SELECT DISTINCT l_orderkey FROM lineitem
+        WHERE l_suppkey IN (SELECT s_suppkey FROM inb))
+SELECT DISTINCT cast(l_suppkey as bigint) AS pid
+FROM lineitem
+WHERE l_orderkey IN (SELECT l_orderkey FROM sel)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM inb)"""
+
     o["x1_point_qt"] = sqlgen.point_qt_sql(PTS, "rowkey", "lon", "lat", 18)
 
     boxes = f"""(SELECT rowkey,

@@ -607,3 +607,22 @@ def q_ann_lsh_multiprobe(spark, sf_dir):
                       F.col("rank").cast("long").alias("rank"),
                       F.col("vec_id").cast("long").alias("vec_id"),
                       F.col("dist2").cast("long").alias("dist2"))
+
+
+SUPP_LON = ("cast(floor(((s_suppkey * 2654435761) % 4294967296) "
+            "/ 4.294967296e9 * 3.6e9) as bigint) - 1800000000")
+SUPP_LAT = ("cast(floor(((s_suppkey * 40503 + 2654435769) % 4294967296) "
+            "/ 4.294967296e9 * 1.7e9) as bigint) - 850000000")
+
+
+def q_j1b_exnodes(spark, sf_dir):
+    # J1 exnodes (reference src/elements.rs:873-876): refs of selected
+    # containers lying OUTSIDE the bbox, dragged in for completeness.
+    # Containers = orders with their full supplier list (multi-ref ways).
+    supp = _read(spark, sf_dir, "supplier").selectExpr(
+        "s_suppkey AS id", f"{SUPP_LON} AS lon", f"{SUPP_LAT} AS lat")
+    orders = _read(spark, sf_dir, "lineitem").groupBy("l_orderkey").agg(
+        F.collect_set("l_suppkey").alias("refs")).select(
+        F.col("l_orderkey").alias("id"), "refs")
+    res = CNT.semi_join_cascade(supp, orders, BBOX_LIT)
+    return res["exnodes"].select(F.col("pid").cast("long").alias("pid"))
