@@ -20,17 +20,32 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from pyspark.sql import DataFrame, SparkSession
 
 
+def _wrap(fn: Callable[[SparkSession, str], DataFrame]):
+    """Ship the package zip to executors before running (the harness's
+    SparkSession may be built elsewhere with an arbitrary cwd, so python
+    workers can't import our kernels without addPyFile)."""
+
+    def g(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from osmquadtree_rust_bindings_spark.session import ensure_shipped
+
+        ensure_shipped(spark)
+        return fn(spark, sf_dir)
+
+    g.__name__ = getattr(fn, "__name__", "query")
+    return g
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     from osmquadtree_rust_bindings_spark import driver_queries as DQ
 
-    return DQ.q_s14_tile_counts(spark, "/root/testdata/sf0.001")
+    return _wrap(DQ.q_s14_tile_counts)(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from osmquadtree_rust_bindings_spark import driver_queries as DQ
 
-    return {
+    return {k: _wrap(v) for k, v in {
         "a1_count_fingerprint": DQ.q_a1_count_fingerprint,
         "a5_count_by_group": DQ.q_a5_count_by_group,
         "a2_refs_stats": DQ.q_a2_refs_stats,
@@ -74,7 +89,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_bucket_hist": DQ.q_ann_lsh_bucket_hist,
         "ann_lsh_multiprobe": DQ.q_ann_lsh_multiprobe,
         "ann_cosine_topk": DQ.q_ann_cosine_topk,
-    }
+    }.items()}
 
 
 def oracle_sql() -> dict[str, str]:

@@ -37,6 +37,24 @@ def build_pyfiles_zip(out_path: str | None = None) -> str:
     return out_path
 
 
+_shipped: set[int] = set()
+
+
+def ensure_shipped(spark: SparkSession) -> None:
+    """Idempotently register the package zip on an EXISTING session so
+    executor python workers can import the kernels — needed when the
+    session was built by a caller (e.g. the driver harness) instead of
+    :func:`get_spark`, possibly with a cwd far from the repo."""
+    sc = spark.sparkContext
+    if id(sc) in _shipped:
+        return
+    try:
+        sc.addPyFile(build_pyfiles_zip())
+    except Exception:
+        pass  # same file already registered on this context
+    _shipped.add(id(sc))
+
+
 def get_spark(master: str | None = None, app_name: str = "osmquadtree-spark",
               shuffle_partitions: int | None = None,
               extra_conf: dict | None = None,
@@ -74,5 +92,5 @@ def get_spark(master: str | None = None, app_name: str = "osmquadtree-spark",
         b = b.config(k, v)
     spark = b.getOrCreate()
     if ship_package:
-        spark.sparkContext.addPyFile(build_pyfiles_zip())
+        ensure_shipped(spark)
     return spark
