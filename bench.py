@@ -30,7 +30,9 @@ HEADLINE = [
     "j1_semi_join_cascade",
     "j6_diff_summary",
     "dedup_minhash_lsh",
+    "dedup_embedding_cosine",
     "ann_l2_topk",
+    "ann_ivf_topk",
     "text_quality",
 ]
 # queries whose output rows count toward the assignments+join-rows metric
