@@ -81,6 +81,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": DQ.q_dedup_minhash_lsh,
         "dedup_simhash": DQ.q_dedup_simhash,
         "dedup_embedding_cosine": DQ.q_dedup_embedding_cosine,
+        "dedup_embedding_cosine_lsh": DQ.q_dedup_embedding_cosine_lsh,
         "text_quality": DQ.q_text_quality,
         "text_langid": DQ.q_text_langid,
         "text_fingerprint": DQ.q_text_fingerprint,

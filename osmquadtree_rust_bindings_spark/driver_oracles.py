@@ -205,6 +205,47 @@ JOIN d nb ON nb.ia = p.ib AND nb.ib = p.ib
 WHERE p.ia < p.ib AND p.dot > 0
   AND p.dot * p.dot * 100 >= 9 * na.dot * nb.dot"""
 
+    # banded-LSH near-dup: replay the identical banding (bands=12, ppb=3,
+    # plane j = band*3 + r with the shared deterministic coefficients),
+    # candidates = any-band collision, verify = same integer predicate
+    ppb, nbands = 3, 12
+    band_exprs = []
+    for b_ in range(nbands):
+        bits = [str(b_ * (1 << ppb))]
+        for r_ in range(ppb):
+            j_ = b_ * ppb + r_
+            coeff = (f"((({j_} * 31 + (i - 1) * 17 + ({j_} * (i - 1)) % 11)"
+                     f" % 7) - 3)")
+            bits.append(
+                f"CASE WHEN list_sum(list_transform(range(1, 65), "
+                f"i -> v[i] * {coeff})) > 0 THEN {1 << r_} ELSE 0 END")
+        band_exprs.append("(" + " + ".join(bits) + ")")
+    o["dedup_embedding_cosine_lsh"] = f"""
+WITH q AS (
+  SELECT vec_id, list_transform(embedding,
+         e -> cast(floor(cast(e AS double) * 1000) AS bigint)) AS v
+  FROM embeddings
+), keyed AS (
+  SELECT vec_id, v, unnest([{', '.join(band_exprs)}]) AS bkey FROM q
+), cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM keyed a JOIN keyed b USING (bkey) WHERE a.vec_id < b.vec_id
+), verified AS (
+  SELECT c.id_a, c.id_b,
+         cast(list_sum(list_transform(range(1, 65),
+              i -> va.v[i] * vb.v[i])) as bigint) AS dot,
+         cast(list_sum(list_transform(range(1, 65),
+              i -> va.v[i] * va.v[i])) as bigint) AS na,
+         cast(list_sum(list_transform(range(1, 65),
+              i -> vb.v[i] * vb.v[i])) as bigint) AS nb
+  FROM cand c
+  JOIN q va ON va.vec_id = c.id_a
+  JOIN q vb ON vb.vec_id = c.id_b
+)
+SELECT cast(id_a as bigint) AS id_a, cast(id_b as bigint) AS id_b,
+       cast(dot as bigint) AS dot
+FROM verified WHERE dot > 0 AND dot * dot * 100 >= 9 * na * nb"""
+
     o["j12_raster_vector"] = f"""
 SELECT DISTINCT ((qt & {MASK10}) | 10) AS qt_raster,
                 ((qt & {MASK7}) | 7) AS cell

@@ -354,9 +354,25 @@ def q_x4_prefix_range_count(spark, sf_dir):
 
 
 def q_dedup_embedding_cosine(spark, sf_dir):
-    # embedding-cosine near-dup pairs; integer-quantized exact predicate
+    # embedding-cosine near-dup pairs; integer-quantized exact predicate,
+    # triangular block self-join (NO driver collect — each task holds only
+    # two hash blocks; same pair set as the broadcast test twin)
     emb = _read(spark, sf_dir, "embeddings")
-    out = SIM.cosine_near_dup_pairs(emb, threshold_num=3, threshold_den=10)
+    out = SIM.cosine_near_dup_pairs_blocked(emb, threshold_num=3,
+                                            threshold_den=10, num_blocks=8)
+    return out.select(F.col("id_a").cast("long").alias("id_a"),
+                      F.col("id_b").cast("long").alias("id_b"),
+                      F.col("dot").cast("long").alias("dot"))
+
+
+def q_dedup_embedding_cosine_lsh(spark, sf_dir):
+    # the 10^12-scale near-dup path: banded-LSH candidates (equi-join on
+    # deterministic sign buckets) + exact integer verify on candidates only;
+    # the oracle replays the identical banding, so hash-exact by design
+    emb = _read(spark, sf_dir, "embeddings")
+    out = SIM.cosine_near_dup_pairs_lsh(emb, dim=64, threshold_num=3,
+                                        threshold_den=10,
+                                        planes_per_band=3, bands=12)
     return out.select(F.col("id_a").cast("long").alias("id_a"),
                       F.col("id_b").cast("long").alias("id_b"),
                       F.col("dot").cast("long").alias("dot"))

@@ -133,20 +133,18 @@ def cosine_near_dup_pairs(embeddings: DataFrame, threshold_num: int = 3,
     threshold test is pure integer arithmetic —
         dot > 0  AND  dot^2 * den^2 >= num^2 * |a|^2 * |b|^2
     so no float-sum ordering can flip a boundary pair (the dedup analogue of
-    l2_topk's integer scoring).  This all-pairs form is the verify stage /
-    exactness oracle; at 10^12 rows candidates come from the LSH bucket
-    join (ann_lsh_topk) and only candidate pairs run this predicate.
+    l2_topk's integer scoring).
     Overflow bound: |q_i| <= QUANT, dim <= 64 -> dot^2 * den^2 < 2^63 for
     den <= 10.  Output: (id_a, id_b, dot).
 
-    Physical shape (same as J9's broadcast polygon set): the quantized
-    matrix is broadcast ONCE, and each Arrow batch computes its dots
-    against it with one int64 matmul — O(N) transfer instead of shipping
-    two arrays per O(N^2) joined row (measured 30s -> ~2s on 2000x64 at
-    local[32]; the earlier crossJoin+fold spent its time moving 2GB of
-    paired arrays).  The broadcast side must fit executor memory — at
-    corpus scale use LSH candidates (ann_lsh_topk) and apply this exact
-    predicate to candidates only, as the docstring above pins."""
+    TEST-ORACLE TWIN ONLY: this form collects the full embedding side to
+    the driver and broadcasts it (one int64 matmul per Arrow batch —
+    measured 30s -> ~2s on 2000x64 vs the crossJoin+fold).  It exists to
+    pin exactness in unit tests against the distributed forms; production
+    paths are :func:`cosine_near_dup_pairs_blocked` (exact, no driver
+    materialization, bounded task memory) and
+    :func:`cosine_near_dup_pairs_lsh` (bucketed candidates, the 10^12
+    path)."""
     from typing import Iterator
 
     spark = embeddings.sparkSession
@@ -179,6 +177,147 @@ def cosine_near_dup_pairs(embeddings: DataFrame, threshold_num: int = 3,
         F.col(id_col).alias("id"),
         _quantized(F.col(vec_col)).alias("v")).mapInPandas(
         fn, schema="id_a long, id_b long, dot long")
+
+
+def cosine_near_dup_pairs_blocked(embeddings: DataFrame,
+                                  threshold_num: int = 3,
+                                  threshold_den: int = 10,
+                                  id_col: str = "vec_id",
+                                  vec_col: str = "embedding",
+                                  num_blocks: int = 8) -> DataFrame:
+    """Exact cosine near-dup pairs with NO driver materialization: the
+    triangular block self-join.
+
+    Same pair set and integer predicate as :func:`cosine_near_dup_pairs`
+    (dot > 0 AND dot^2*den^2 >= num^2*|a|^2*|b|^2 on QUANT-quantized ints),
+    but distributed: each vector is hashed to one of B blocks and replicated
+    to the B block-pair groups it participates in (diagonal group once), so
+    the B*(B+1)/2 groups tile the pair triangle exactly once.  Each group
+    runs ONE int64 matmul over its two sub-blocks inside applyInPandas —
+    task memory is O(2N/B * dim), never the whole table, and no collect()
+    ever touches the driver.  Scale note: exact all-pairs is inherently
+    O(N^2) dot products — size B so N/B fits a task (B ~ N / 1e6) and the
+    shuffle is B*N rows; at true corpus scale use
+    :func:`cosine_near_dup_pairs_lsh`, which bounds candidates instead.
+    Output: (id_a, id_b, dot)."""
+    B = num_blocks
+    q = embeddings.select(
+        F.col(id_col).alias("id"),
+        _quantized(F.col(vec_col)).alias("v"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(B)).cast("int").alias("blk"))
+    # group id g = min(blk, i) * B + max(blk, i) over i in 0..B-1; the
+    # diagonal (i == blk) appears exactly once in the sequence -> each
+    # unordered block pair is materialized exactly once per vector
+    groups = F.array_distinct(F.transform(
+        F.sequence(F.lit(0), F.lit(B - 1)),
+        lambda i: (F.least(i, F.col("blk")) * B
+                   + F.greatest(i, F.col("blk"))).cast("int")))
+    parts = q.withColumn("g", F.explode(groups))
+    num2 = threshold_num * threshold_num
+    den2 = threshold_den * threshold_den
+
+    def fn(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        g = int(key[0])
+        r, c = g // B, g % B
+        left = pdf[pdf["blk"] == r]
+        right = pdf[pdf["blk"] == c]
+        if not len(left) or not len(right):
+            return pd.DataFrame({"id_a": pd.Series([], dtype=np.int64),
+                                 "id_b": pd.Series([], dtype=np.int64),
+                                 "dot": pd.Series([], dtype=np.int64)})
+        la = np.stack(left["v"].to_numpy()).astype(np.int64)
+        ra = np.stack(right["v"].to_numpy()).astype(np.int64)
+        ida = left["id"].to_numpy(np.int64)
+        idb = right["id"].to_numpy(np.int64)
+        dots = la @ ra.T
+        na = (la * la).sum(axis=1)
+        nb = (ra * ra).sum(axis=1)
+        keep = ((dots > 0)
+                & (dots * dots * den2 >= num2 * na[:, None] * nb[None, :]))
+        if r == c:
+            # one orientation per pair inside the diagonal block
+            keep &= ida[:, None] < idb[None, :]
+        i, j = np.nonzero(keep)
+        # cross-block pairs can have the smaller id on either side
+        lo = np.minimum(ida[i], idb[j])
+        hi = np.maximum(ida[i], idb[j])
+        return pd.DataFrame({"id_a": lo, "id_b": hi, "dot": dots[i, j]})
+
+    return parts.groupBy("g").applyInPandas(
+        fn, schema="id_a long, id_b long, dot long")
+
+
+def with_lsh_band_keys(df: DataFrame, dim: int, planes_per_band: int = 3,
+                       bands: int = 12, vec_col: str = "embedding",
+                       out: str = "bkeys") -> DataFrame:
+    """Banded hyperplane LSH keys: ``bands`` independent tables, each keyed
+    by ``planes_per_band`` sign bits (plane j = band*ppb + r reuses the
+    deterministic integer coefficients of :func:`with_lsh_bucket`).  Key =
+    band * 2^ppb + bits, so keys from different bands never collide.  Pure
+    Column algebra, replayable verbatim in SQL."""
+    v = _quantized(F.col(vec_col))
+    df = df.withColumn("__vq", v)
+    keys = []
+    for b in range(bands):
+        bits = F.lit(b * (1 << planes_per_band))
+        for r in range(planes_per_band):
+            j = b * planes_per_band + r
+            coeffs = F.array(*[F.lit(_plane_coeff(j, d)) for d in range(dim)])
+            dot = _dot_int(F.col("__vq"), coeffs)
+            bits = bits + F.when(dot > 0, F.lit(1 << r)).otherwise(F.lit(0))
+        keys.append(bits)
+    return df.withColumn(out, F.array(*keys)).drop("__vq")
+
+
+def cosine_near_dup_pairs_lsh(embeddings: DataFrame, dim: int,
+                              threshold_num: int = 3,
+                              threshold_den: int = 10,
+                              planes_per_band: int = 3, bands: int = 12,
+                              id_col: str = "vec_id",
+                              vec_col: str = "embedding") -> DataFrame:
+    """The 10^12-scale near-dup path: banded-LSH candidate generation +
+    the exact integer cosine predicate applied to candidates only.
+
+    Candidates = pairs colliding in ANY of ``bands`` hyperplane sign
+    buckets — an equi-join on the band key, never a cross join; the
+    verification is two narrow joins back to the quantized vectors and one
+    zip_with fold per candidate.  Fully deterministic (integer plane
+    coefficients), so the DuckDB oracle replays the identical pipeline and
+    the output is hash-exact by construction.
+
+    Recall is the LSH collision curve: per-plane P(agree) = 1 - theta/pi.
+    At production near-dup thresholds (cos >= 0.8) a (ppb=6, bands=4)
+    config prunes candidates ~16x with >95% recall (pinned by
+    tests/test_similarity.py's planted-dup fixture); at the test corpus's
+    marginal threshold (0.3) pruning is necessarily weak — the operator's
+    value is the plan SHAPE: candidate count, not N^2, bounds the work.
+    Output: (id_a, id_b, dot) — a deterministic subset of the exact form.
+    """
+    keyed = with_lsh_band_keys(embeddings, dim, planes_per_band, bands,
+                               vec_col).select(
+        F.col(id_col).alias("id"), _quantized(F.col(vec_col)).alias("v"),
+        F.col("bkeys")).cache()
+    flat = keyed.select("id", F.explode("bkeys").alias("bkey"))
+    a = flat.select(F.col("id").alias("id_a"), "bkey")
+    b = flat.select(F.col("id").alias("id_b"), "bkey")
+    cand = (a.join(b, "bkey").filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b").distinct())
+    va = keyed.select(F.col("id").alias("id_a"), F.col("v").alias("__va"))
+    vb = keyed.select(F.col("id").alias("id_b"), F.col("v").alias("__vb"))
+    num2 = threshold_num * threshold_num
+    den2 = threshold_den * threshold_den
+    return (
+        cand.join(va, "id_a").join(vb, "id_b")
+        .withColumns({
+            "dot": _dot_int(F.col("__va"), F.col("__vb")),
+            "__na": _dot_int(F.col("__va"), F.col("__va")),
+            "__nb": _dot_int(F.col("__vb"), F.col("__vb")),
+        })
+        .filter((F.col("dot") > 0)
+                & (F.col("dot") * F.col("dot") * den2
+                   >= num2 * F.col("__na") * F.col("__nb")))
+        .select("id_a", "id_b", "dot")
+    )
 
 
 def _centroid_coeff(c: int, d: int) -> int:

@@ -77,6 +77,60 @@ def test_multiprobe_nprobe1_equals_single_bucket(emb, queries):
     pd.testing.assert_frame_equal(single, multi, check_dtype=False)
 
 
+def test_blocked_near_dup_equals_broadcast_twin(emb):
+    exact = _norm(SIM.cosine_near_dup_pairs(emb, 3, 10).toPandas())
+    blocked = _norm(SIM.cosine_near_dup_pairs_blocked(
+        emb, 3, 10, num_blocks=8).toPandas())
+    pd.testing.assert_frame_equal(blocked, exact, check_dtype=False)
+    # block count must not change the pair set (tiling is exact, not approx)
+    blocked3 = _norm(SIM.cosine_near_dup_pairs_blocked(
+        emb, 3, 10, num_blocks=3).toPandas())
+    pd.testing.assert_frame_equal(blocked3, exact, check_dtype=False)
+
+
+def test_lsh_near_dup_subset_and_verified(emb):
+    exact = SIM.cosine_near_dup_pairs(emb, 3, 10).toPandas()
+    lsh = SIM.cosine_near_dup_pairs_lsh(
+        emb, DIM, 3, 10, planes_per_band=3, bands=12).toPandas()
+    exact_set = set(zip(exact.id_a, exact.id_b))
+    lsh_set = set(zip(lsh.id_a, lsh.id_b))
+    # every emitted pair passed the exact predicate (subset, no false hits)
+    assert lsh_set <= exact_set
+    # dots agree with the exact twin on shared pairs
+    merged = lsh.merge(exact, on=["id_a", "id_b"], suffixes=("", "_ex"))
+    assert (merged["dot"] == merged["dot_ex"]).all()  # .dot is the method!
+    assert len(lsh_set) / max(len(exact_set), 1) >= 0.9
+
+
+def test_lsh_near_dup_prunes_at_production_threshold(spark):
+    """Planted-dup fixture: at a real near-dup threshold (cos >= 0.8) the
+    banded-LSH candidates prune hard while keeping the planted pairs —
+    the 10^12-scale behavior the marginal test corpus can't show."""
+    rng = np.random.default_rng(99)
+    base = rng.normal(size=(120, DIM))
+    dup = base[:40] + rng.normal(scale=0.08, size=(40, DIM))  # cos ~ 0.97
+    vecs = np.concatenate([base, dup]).astype(np.float32)
+    pdf = pd.DataFrame({"vec_id": np.arange(len(vecs), dtype=np.int64),
+                        "embedding": [v.tolist() for v in vecs]})
+    df = spark.createDataFrame(pdf)
+    exact = SIM.cosine_near_dup_pairs(df, 8, 10).toPandas()
+    lsh = SIM.cosine_near_dup_pairs_lsh(df, DIM, 8, 10,
+                                        planes_per_band=6, bands=4)
+    got = set(zip(*(lsh.toPandas()[c] for c in ("id_a", "id_b"))))
+    want = set(zip(exact.id_a, exact.id_b))
+    assert len(want) >= 30  # the fixture really contains planted dups
+    assert len(got & want) / len(want) >= 0.9
+    # candidate pruning: the band join inspects far fewer than N^2/2 pairs
+    keyed = SIM.with_lsh_band_keys(df, DIM, 6, 4)
+    flat = keyed.select("vec_id", F.explode("bkeys").alias("bkey"))
+    a = flat.selectExpr("vec_id AS id_a", "bkey")
+    b = flat.selectExpr("vec_id AS id_b", "bkey")
+    ncand = (a.join(b, "bkey").filter(F.col("id_a") < F.col("id_b"))
+             .select("id_a", "id_b").distinct().count())
+    npairs = len(vecs) * (len(vecs) - 1) // 2
+    assert ncand <= npairs * 0.25, (ncand, npairs)
+
+
 def test_multiprobe_recall_monotone(emb, queries):
     brute = SIM.l2_topk(emb, queries, k=10).toPandas()
     exact = set(zip(brute.qid, brute.vec_id))
