@@ -49,6 +49,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a1_count_fingerprint": DQ.q_a1_count_fingerprint,
         "a5_count_by_group": DQ.q_a5_count_by_group,
         "a2_refs_stats": DQ.q_a2_refs_stats,
+        "a3_members_stats": DQ.q_a3_members_stats,
+        "a4_num_blocks": DQ.q_a4_num_blocks,
+        "x_qt_common_rollup": DQ.q_x_qt_common_rollup,
+        "x9_feature_bounds": DQ.q_x9_feature_bounds,
         "x7_time_rollup": DQ.q_x7_time_rollup,
         "j3_merge_latest": DQ.q_j3_merge_latest,
         "j5_apply_changes": DQ.q_j5_apply_changes,

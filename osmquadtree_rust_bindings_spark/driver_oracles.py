@@ -66,6 +66,18 @@ SELECT cast(count(*) as bigint) AS num,
 FROM (SELECT l_orderkey, list(l_linenumber) AS refs
       FROM lineitem GROUP BY l_orderkey)"""
 
+    # A3: independent formulation — per-order member COUNTS via left join
+    # (the engine builds real arrays; only the stats must agree)
+    o["a3_members_stats"] = """
+WITH m AS (SELECT l_orderkey, count(*) AS n FROM lineitem
+           WHERE l_linenumber >= 4 GROUP BY l_orderkey)
+SELECT cast(count(*) as bigint) AS num,
+       cast(sum(coalesce(n, 0)) as bigint) AS num_mems,
+       cast(max(coalesce(n, 0)) as bigint) AS max_mems_len,
+       cast(sum(CASE WHEN coalesce(n, 0) = 0 THEN 1 ELSE 0 END) as bigint)
+         AS num_empties
+FROM orders LEFT JOIN m ON o_orderkey = l_orderkey"""
+
     o["x7_time_rollup"] = """
 SELECT cast(year(ts) * 100 + month(ts) as bigint) AS ym,
        cast(count(*) as bigint) AS num,
@@ -151,17 +163,49 @@ FROM {_point_qt_sub()} GROUP BY 1"""
 
     o["x1b_qt_views"] = sqlgen.qt_views_sql(tiles6, "tile", 6)
 
-    # independent formulation: window lag per way vs the engine's array fold
+    # independent formulation: window lag per way vs the engine's array
+    # fold; elen uses the SAME mercator fragment text (that's the contract)
+    # then an independent floor(sqrt(dx^2+dy^2)) per segment
     o["j7_line_assembly"] = f"""
-WITH n AS (SELECT rowkey // 8 AS way_id, rowkey % 8 AS pos, lon, lat
+WITH n AS (SELECT rowkey // 8 AS way_id, rowkey % 8 AS pos, lon, lat,
+                  {sqlgen.merc_x_expr('lon')} AS mx,
+                  {sqlgen.merc_y_expr('lat')} AS my
            FROM {PTS}),
 d AS (SELECT way_id, pos,
-             abs(lon - lag(lon) OVER w) + abs(lat - lag(lat) OVER w) AS seg
+             abs(lon - lag(lon) OVER w) + abs(lat - lag(lat) OVER w) AS seg,
+             cast(floor(sqrt(cast(
+               (mx - lag(mx) OVER w) * (mx - lag(mx) OVER w)
+               + (my - lag(my) OVER w) * (my - lag(my) OVER w)
+             as double))) as bigint) AS seg_e
       FROM n WINDOW w AS (PARTITION BY way_id ORDER BY pos))
 SELECT cast(way_id as bigint) AS way_id,
        cast(count(*) as bigint) AS npts,
-       cast(coalesce(sum(seg), 0) as bigint) AS mlen
+       cast(coalesce(sum(seg), 0) as bigint) AS mlen,
+       cast(coalesce(sum(seg_e), 0) as bigint) AS elen
 FROM d GROUP BY way_id"""
+
+    o["x9_feature_bounds"] = f"""
+SELECT cast(rowkey // 8 as bigint) AS way_id,
+       min(lon) AS minlon, min(lat) AS minlat,
+       max(lon) AS maxlon, max(lat) AS maxlat
+FROM {PTS} GROUP BY 1"""
+
+    # §2.7 LCA rollup: prefix-match depth = sum of 18 independent masked
+    # equality tests on (min, max) per group (monotone, same trick as the
+    # engine's Column descent), then a dynamic-depth round
+    lca_terms = " + ".join(
+        f"(CASE WHEN (mn & {-(1 << (63 - 2 * k))}) = "
+        f"(mx & {-(1 << (63 - 2 * k))}) THEN 1 ELSE 0 END)"
+        for k in range(1, 19))
+    o["x_qt_common_rollup"] = f"""
+WITH g AS (SELECT rowkey // 8 AS way_id, min(qt) AS mn, max(qt) AS mx
+           FROM {_point_qt_sub()} GROUP BY 1),
+d AS (SELECT way_id, mn, ({lca_terms}) AS cd FROM g)
+SELECT cast(way_id as bigint) AS way_id,
+       CASE WHEN cd = 0 THEN 0
+            ELSE (mn & (-(cast(1 as bigint) << (63 - 2 * cd)))) | cd
+       END AS qt_group
+FROM d"""
 
     o["x8_mercator"] = sqlgen.mercator_xy_sql(PTS, "rowkey", "lon", "lat")
 

@@ -158,6 +158,57 @@ def q_a2_refs_stats(spark, sf_dir):
                         for c in out.columns])
 
 
+def q_a3_members_stats(spark, sf_dir):
+    # A3 relation Count stats (reference src/count.rs:217-250): orders play
+    # relations, their >=4th lineitems the member lists — so many relations
+    # are genuinely empty (num_empties > 0 exercises the empty arm)
+    o = _read(spark, sf_dir, "orders")
+    mem = (
+        _read(spark, sf_dir, "lineitem")
+        .filter(F.col("l_linenumber") >= 4)
+        .groupBy("l_orderkey")
+        .agg(F.collect_list("l_linenumber").alias("members"))
+    )
+    rel = o.join(mem, o.o_orderkey == mem.l_orderkey, "left").select(
+        F.coalesce(F.col("members"),
+                   F.array().cast("array<int>")).alias("members"))
+    out = CNT.count_members_stats(rel)
+    return out.select(*[F.col(c).cast("long").alias(c) for c in out.columns])
+
+
+def q_a4_num_blocks(spark, sf_dir):
+    # A4 num_blocks: physical scan partition count (engine-only — partition
+    # layout has no SQL twin; rows-only gate pins shape + non-emptiness)
+    li = _read(spark, sf_dir, "lineitem")
+    return CNT.num_blocks(li)
+
+
+def q_x_qt_common_rollup(spark, sf_dir):
+    # §2.7 step 3 — relation LCA rollup: member point qts -> lowest common
+    # ancestor per group via qt_common_agg (reference Quadtree::common,
+    # src/elements.rs:46-65); LCA(set) == LCA(min, max) under i64 order
+    from osmquadtree_rust_bindings_spark.operators import calcqts as CQ
+
+    pts = _pts_with_qt(spark, sf_dir)
+    nodes = pts.select((F.col("rowkey") / 8).cast("long").alias("way_id"),
+                       "qt_point")
+    return nodes.groupBy("way_id").agg(
+        CQ.qt_common_agg(F.col("qt_point")).alias("qt_group")).select(
+        F.col("way_id").cast("long").alias("way_id"), "qt_group")
+
+
+def q_x9_feature_bounds(spark, sf_dir):
+    # X9 prep_bounds (reference src/geometry.rs:185-193): per-way bbox over
+    # the positioned node stream — one partial-agg groupBy
+    from osmquadtree_rust_bindings_spark.operators import geometry as G
+
+    pts = _pts(spark, sf_dir)
+    nodes = pts.select((F.col("rowkey") / 8).cast("long").alias("way_id"),
+                       "lon", "lat")
+    out = G.feature_bounds(nodes)
+    return out.select(*[F.col(c).cast("long").alias(c) for c in out.columns])
+
+
 def q_x7_time_rollup(spark, sf_dir):
     ev = _read(spark, sf_dir, "events")
     return (
@@ -472,8 +523,7 @@ def q_ann_l2_topk(spark, sf_dir):
 
 def q_ann_lsh_bucket_hist(spark, sf_dir):
     emb = _read(spark, sf_dir, "embeddings")
-    dim = len(emb.select("embedding").first()[0])
-    out = SIM.with_lsh_bucket(emb, dim=dim, planes=8)
+    out = SIM.with_lsh_bucket(emb, dim=64, planes=8)
     return (out.groupBy("bucket")
             .agg(F.count(F.lit(1)).cast("long").alias("num"),
                  F.min("vec_id").cast("long").alias("min_id"))
@@ -545,24 +595,42 @@ def q_j7_line_assembly(spark, sf_dir):
     # J7 way-geometry join (reference src/geometry.rs:760-814): re-assemble
     # each 'way' (order) from its positioned nodes — collect_list +
     # sort_array preserves ref order without a window shuffle — then fold
-    # the vertex array into an integer Manhattan length (engine-exact).
+    # the vertex array into two engine-exact lengths: integer Manhattan
+    # (mlen) and the reference-faithful euclidean length in mercator meters
+    # (elen; reference linestring length, src/geometry.rs:361).  Vertices
+    # are floored to int meters first (shared sqlgen fragment text), so
+    # every dx^2+dy^2 < 2^53 is an exact double and floor(sqrt) is
+    # bit-identical on any IEEE engine.
     pts = _pts(spark, sf_dir)
     nodes = pts.select(
         (F.col("rowkey") / 8).cast("long").alias("way_id"),
-        (F.col("rowkey") % 8).cast("int").alias("pos"), "lon", "lat")
+        (F.col("rowkey") % 8).cast("int").alias("pos"), "lon", "lat",
+        F.expr(sqlgen.merc_x_expr("lon")).alias("mx"),
+        F.expr(sqlgen.merc_y_expr("lat")).alias("my"))
     ways = nodes.groupBy("way_id").agg(
-        F.sort_array(F.collect_list(F.struct("pos", "lon", "lat")))
+        F.sort_array(F.collect_list(F.struct("pos", "lon", "lat",
+                                             "mx", "my")))
         .alias("line"))
     n = F.size("line")
+    head = F.slice(F.col("line"), 1, F.greatest(n - 1, F.lit(0)))
+    tail = F.slice(F.col("line"), 2, F.greatest(n - 1, F.lit(0)))
     seglen = F.aggregate(
-        F.zip_with(F.slice(F.col("line"), 1, F.greatest(n - 1, F.lit(0))),
-                   F.slice(F.col("line"), 2, F.greatest(n - 1, F.lit(0))),
+        F.zip_with(head, tail,
                    lambda a, b: F.abs(a.lon - b.lon) + F.abs(a.lat - b.lat)),
+        F.lit(0).cast("long"), lambda acc, v: acc + v)
+    seglen_e = F.aggregate(
+        F.zip_with(head, tail,
+                   lambda a, b: F.floor(F.sqrt(
+                       ((a.mx - b.mx) * (a.mx - b.mx)
+                        + (a.my - b.my) * (a.my - b.my)).cast("double")))
+                   .cast("long")),
         F.lit(0).cast("long"), lambda acc, v: acc + v)
     return ways.select(
         F.col("way_id").cast("long").alias("way_id"),
         n.cast("long").alias("npts"),
-        F.when(n > 1, seglen).otherwise(F.lit(0)).cast("long").alias("mlen"))
+        F.when(n > 1, seglen).otherwise(F.lit(0)).cast("long").alias("mlen"),
+        F.when(n > 1, seglen_e).otherwise(F.lit(0)).cast("long")
+        .alias("elen"))
 
 
 def q_j8_multipolygon_assembly(spark, sf_dir):

@@ -146,16 +146,27 @@ FROM (
 )"""
 
 
+def merc_x_expr(lon: str) -> str:
+    """int 1e-7 deg lon → mercator meters floored to BIGINT (shared
+    fragment; reference LonLat::forward x, src/geometry.rs:176-183)."""
+    return (f"cast(floor((({lon}) / 1e7) / 1.8e2 * (6378137e0 * pi()))"
+            f" as bigint)")
+
+
+def merc_y_expr(lat: str) -> str:
+    """int 1e-7 deg lat → mercator meters floored to BIGINT."""
+    merc = (f"(ln(tan(pi() / 4 + (({lat}) / 1e7) * (pi() / 180) / 2))"
+            f" / pi())")
+    return f"cast(floor({merc} * (6378137e0 * pi())) as bigint)"
+
+
 def mercator_xy_sql(table: str, key: str, lon: str, lat: str) -> str:
     """Spherical web-mercator forward (reference LonLat::forward,
     src/geometry.rs:176-183): meters, floored to ints for exact compare."""
-    scale = "(6378137e0 * pi())"
-    merc = (f"(ln(tan(pi() / 4 + (({lat}) / 1e7) * (pi() / 180) / 2))"
-            f" / pi())")
     return f"""
 SELECT {key},
-       cast(floor((({lon}) / 1e7) / 1.8e2 * {scale}) as bigint) AS mx,
-       cast(floor({merc} * {scale}) as bigint) AS my
+       {merc_x_expr(lon)} AS mx,
+       {merc_y_expr(lat)} AS my
 FROM {table}"""
 
 

@@ -52,6 +52,29 @@ def count_refs_stats(df: DataFrame, refs: str = "refs") -> DataFrame:
     )
 
 
+def count_members_stats(df: DataFrame, members: str = "members") -> DataFrame:
+    """Relation-style member-array stats (A3, reference Count relation arm
+    src/count.rs:217-250): total relations, total members, longest member
+    list, and the number of empty relations — the third leg of the
+    node/way/relation Count triple (A1/A2/A3)."""
+    sz = F.size(members)
+    return df.agg(
+        F.count(F.lit(1)).alias("num"),
+        F.sum(sz).alias("num_mems"),
+        F.max(sz).alias("max_mems_len"),
+        F.sum((sz == 0).cast("long")).alias("num_empties"),
+    )
+
+
+def num_blocks(df: DataFrame) -> DataFrame:
+    """A4 num_blocks (reference header index block count,
+    src/readpbf.rs:222-243): the number of physical scan partitions feeding
+    this plan — Spark's analogue of the file's block count.  One narrow
+    distinct over spark_partition_id, no data movement beyond the agg."""
+    return (df.select(F.spark_partition_id().alias("pid")).distinct()
+            .agg(F.count(F.lit(1)).alias("num_blocks")))
+
+
 def semi_join_cascade(points: DataFrame, containers: DataFrame,
                       bbox: tuple[int, int, int, int],
                       point_id: str = "id", refs: str = "refs",

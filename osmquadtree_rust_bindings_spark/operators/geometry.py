@@ -118,6 +118,17 @@ def assemble_multipolygons(members: DataFrame, ways: DataFrame,
 
 # ------------------------------------------------------- synthetic fixture
 
+def feature_bounds(nodes: DataFrame, feature_id: str = "way_id",
+                   lon: str = "lon", lat: str = "lat") -> DataFrame:
+    """X9 ``prep_bounds(transform)`` (reference src/geometry.rs:185-193):
+    per-feature bbox over the positioned node stream — one partial-agg
+    groupBy (min/max per coordinate), no arrays materialized.
+    Output: (feature_id, minlon, minlat, maxlon, maxlat)."""
+    return nodes.groupBy(feature_id).agg(
+        F.min(lon).alias("minlon"), F.min(lat).alias("minlat"),
+        F.max(lon).alias("maxlon"), F.max(lat).alias("maxlat"))
+
+
 def make_multipolygon_fixture(num_rels: int):
     """Deterministic multipolygon corpus: per relation, one outer rectangle
     split into 4 boundary ways (some stored reversed) + one inner rectangle
