@@ -361,7 +361,18 @@ sh AS (SELECT doc_id,
 sizes AS (SELECT doc_id, cast(count(*) as bigint) AS nsh
           FROM sh GROUP BY doc_id)"""
 
-    o["dedup_ngram_jaccard"] = shingle_cte + """,
+    # same max_df=40 hot-shingle cap as the engine: Jaccard over the
+    # capped shingle space (sizes AND intersections)
+    o["dedup_ngram_jaccard"] = """
+WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+sh0 AS (SELECT doc_id,
+               unnest(list_distinct(list_transform(
+                   range(1, len(w)), i -> w[i] || ' ' || w[i+1]))) AS shingle
+        FROM ws),
+sh AS (SELECT doc_id, shingle FROM sh0
+       QUALIFY count(*) OVER (PARTITION BY shingle) <= 40),
+sizes AS (SELECT doc_id, cast(count(*) as bigint) AS nsh
+          FROM sh GROUP BY doc_id),
 inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
                  cast(count(*) as bigint) AS inter
           FROM sh a JOIN sh b USING (shingle)

@@ -460,7 +460,9 @@ def q_dedup_exact(spark, sf_dir):
 
 def q_dedup_ngram_jaccard(spark, sf_dir):
     docs = _read(spark, sf_dir, "documents")
-    out = DD.ngram_jaccard_pairs(docs, threshold=0.2)
+    # max_df=40 drops the stopword-shingle tail (hot-key guard — see
+    # ngram_jaccard_pairs docstring); the oracle applies the same cap
+    out = DD.ngram_jaccard_pairs(docs, threshold=0.2, max_df=40)
     return out.select(F.col("id_a").cast("long").alias("id_a"),
                       F.col("id_b").cast("long").alias("id_b"),
                       F.col("inter").cast("long").alias("inter"),

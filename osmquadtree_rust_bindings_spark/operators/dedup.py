@@ -61,15 +61,33 @@ def shingles(df: DataFrame, text: str = "text", id_col: str = "doc_id",
 
 def ngram_jaccard_pairs(df: DataFrame, threshold: float = 0.4,
                         text: str = "text", id_col: str = "doc_id",
-                        n: int = 2) -> DataFrame:
+                        n: int = 2, max_df: int | None = None) -> DataFrame:
     """All-pairs n-gram Jaccard >= threshold via an inverted shingle index.
 
     |A ∩ B| from the self-join of the distinct shingle stream; |A ∪ B| =
     nA + nB - inter.  Threshold comparison done as integer cross-multiply
     (10*inter >= thr*10*union) to keep the output float-free.
     Output: (id_a, id_b, inter, union_sz) with id_a < id_b.
+
+    ``max_df`` is the hot-shingle guard: shingles appearing in more than
+    ``max_df`` documents are dropped from the index BEFORE the self-join
+    (standard stopword-shingle practice).  Without it a shingle with
+    document frequency f emits f^2 join rows — at corpus scale a stopword
+    bigram ("of the") is a quadratic blowup concentrated on one key that
+    AQE skew-split cannot fix (it rebalances partitions, not O(f^2) row
+    counts).  With the cap, per-key fan-out is bounded by max_df^2 and
+    total candidates by |shingles| * max_df^2.  The hot set itself is tiny
+    (<= total_postings / max_df distinct shingles), so it broadcasts.
+    Jaccard is then computed on the capped shingle space (sizes AND
+    intersections) — deterministic and replayable in SQL.
     """
-    sh = shingles(df, text, id_col, n).cache()
+    sh = shingles(df, text, id_col, n)
+    if max_df is not None:
+        hot = (sh.groupBy("shingle")
+               .agg(F.count(F.lit(1)).alias("df"))
+               .filter(F.col("df") > max_df).select("shingle"))
+        sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
+    sh = sh.cache()
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("nsh"))
     a = sh.select(F.col(id_col).alias("id_a"), "shingle")
     b = sh.select(F.col(id_col).alias("id_b"), "shingle")

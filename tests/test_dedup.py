@@ -1,0 +1,64 @@
+"""Dedup operators: the hot-shingle (stopword) cap in ngram Jaccard.
+
+Skewed fixture: every doc shares one stopword bigram; without the cap the
+inverted-index self-join emits O(N^2) rows concentrated on that one key —
+with the cap, pair counts are bounded by the genuinely-similar docs.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from osmquadtree_rust_bindings_spark.operators import dedup as DD
+
+
+N_DOCS = 60
+
+
+@pytest.fixture(scope="module")
+def skewed_docs(spark):
+    # every doc starts "of the" (hot shingle, df == N_DOCS); docs 2k/2k+1
+    # then share 3 rare bigrams (a planted near-dup pair); the rest of each
+    # doc is unique filler
+    rows = []
+    for i in range(N_DOCS):
+        pair = i // 2
+        shared = f"p{pair}a p{pair}b p{pair}c p{pair}d"
+        filler = f"u{i}x u{i}y u{i}z"
+        rows.append((i, f"of the {shared} {filler}"))
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_cap_bounds_candidate_pairs(skewed_docs):
+    # threshold low enough that ONE common shingle qualifies a pair:
+    # uncapped, the hot "of the" shingle alone links every doc pair
+    uncapped = DD.ngram_jaccard_pairs(skewed_docs, threshold=0.01)
+    assert uncapped.count() == N_DOCS * (N_DOCS - 1) // 2
+
+    # capped (max_df < N_DOCS drops the hot shingle): only the planted
+    # pairs remain — quadratic blowup gone, candidates bounded by real dups
+    capped = DD.ngram_jaccard_pairs(skewed_docs, threshold=0.01,
+                                    max_df=N_DOCS - 1)
+    got = sorted(tuple(r) for r in
+                 capped.select("id_a", "id_b").collect())
+    assert got == [(2 * k, 2 * k + 1) for k in range(N_DOCS // 2)]
+
+
+def test_cap_keeps_jaccard_on_capped_space(skewed_docs):
+    # sizes must be computed on the CAPPED shingle space: each doc has 8
+    # bigrams, 1 hot ("of the") -> 7 kept; a planted pair shares the 4
+    # bigrams of its common run incl. the "the pKa" bridge, so inter=4 and
+    # union = 7 + 7 - 4 = 10
+    capped = DD.ngram_jaccard_pairs(skewed_docs, threshold=0.01,
+                                    max_df=N_DOCS - 1)
+    row = capped.filter((F.col("id_a") == 0) & (F.col("id_b") == 1)) \
+        .collect()[0]
+    assert row.inter == 4
+    assert row.union_sz == 10
+
+
+def test_no_cap_is_default_identity(skewed_docs):
+    # max_df=None must reproduce the original (uncapped) semantics
+    a = DD.ngram_jaccard_pairs(skewed_docs, threshold=0.5)
+    b = DD.ngram_jaccard_pairs(skewed_docs, threshold=0.5,
+                               max_df=10 ** 9)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
