@@ -65,6 +65,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x4_prefix_range_count": DQ.q_x4_prefix_range_count,
         "x5_tile_bbox": DQ.q_x5_tile_bbox,
         "x10_geojson": DQ.q_x10_geojson,
+        "x11_wkb_point": DQ.q_x11_wkb_point,
+        "x11_wkb_line": DQ.q_x11_wkb_line,
+        "x16_style_attrs": DQ.q_x16_style_attrs,
         "j7_line_assembly": DQ.q_j7_line_assembly,
         "x7b_date_string": DQ.q_x7b_date_string,
         "x8_mercator": DQ.q_x8_mercator,

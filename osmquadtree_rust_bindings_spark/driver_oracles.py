@@ -34,6 +34,23 @@ def _point_qt_sub() -> str:
     return f"({sqlgen.point_qt_sql(PTS, 'rowkey', 'lon', 'lat', 18)})"
 
 
+def _le_double_hex(c: str) -> str:
+    """16-hex-char little-endian IEEE-754 image of an INTEGER-valued
+    double, from the bigint column ``c`` — pure integer SQL (no float
+    ops, so bit-exact on any engine): exponent from the bit length,
+    mantissa by exact shift, sign folded into the top nibble, then
+    byte-reversed to little-endian."""
+    a = f"abs({c})"
+    e = f"(length(bin({a})) - 1)"
+    bits = (f"((({e} + 1023)::BIGINT << 52) + "
+            f"({a} * (1::BIGINT << (52 - {e})) - (1::BIGINT << 52)))")
+    hexbe = (f"(to_hex(({bits} >> 60) + (CASE WHEN {c} < 0 THEN 8 ELSE 0 "
+             f"END)) || substr(lpad(to_hex({bits}), 16, '0'), 2))")
+    le = " || ".join(f"substr({hexbe}, {p}, 2)" for p in (15, 13, 11, 9,
+                                                          7, 5, 3, 1))
+    return f"(CASE WHEN {c} = 0 THEN '0000000000000000' ELSE {le} END)"
+
+
 def _values(pdf, cols) -> str:
     rows = ", ".join(
         "(" + ", ".join(str(int(r[c])) for c in cols) + ")"
@@ -208,6 +225,61 @@ SELECT cast(way_id as bigint) AS way_id,
 FROM d"""
 
     o["x8_mercator"] = sqlgen.mercator_xy_sql(PTS, "rowkey", "lon", "lat")
+
+    # X11 EWKB hex: header = byte-order 01, type 0x20000001 LE, srid 3857
+    # LE ('110F0000'); coordinate doubles are integer-valued (mercator
+    # ints, scale=1.0) so _le_double_hex reconstructs their IEEE bytes
+    # with pure integer SQL
+    o["x11_wkb_point"] = f"""
+WITH m AS (SELECT rowkey, {sqlgen.merc_x_expr('lon')} AS mx,
+                  {sqlgen.merc_y_expr('lat')} AS my FROM {PTS})
+SELECT cast(rowkey as bigint) AS id,
+       '0101000020110F0000' || {_le_double_hex('mx')}
+         || {_le_double_hex('my')} AS wkb_hex
+FROM m"""
+
+    o["x11_wkb_line"] = f"""
+WITH n AS (SELECT rowkey // 8 AS way_id, rowkey % 8 AS pos,
+                  {sqlgen.merc_x_expr('lon')} AS mx,
+                  {sqlgen.merc_y_expr('lat')} AS my FROM {PTS}),
+v AS (SELECT way_id, pos,
+             {_le_double_hex('mx')} || {_le_double_hex('my')} AS vh
+      FROM n),
+a AS (SELECT way_id, count(*) AS npts,
+             string_agg(vh, '' ORDER BY pos) AS body
+      FROM v GROUP BY way_id)
+SELECT cast(way_id as bigint) AS way_id,
+       '0102000020110F0000' || lpad(to_hex(npts), 2, '0') || '000000'
+         || body AS wkb_hex
+FROM a"""
+
+    # X16 render attrs: independent CASE decode of the same partkey-mod
+    # tag construction against the PINNED default style/minzoom tables
+    o["x16_style_attrs"] = """
+WITH t AS (SELECT p_partkey AS id, p_partkey % 5 AS mode,
+                  p_partkey % 9 AS hwi, p_partkey % 4 AS wwi,
+                  p_partkey % 7 - 3 AS lyr, p_partkey % 2 AS hasl
+           FROM part)
+SELECT cast(id as bigint) AS id,
+       cast(CASE WHEN hasl = 1 THEN lyr ELSE 0 END as bigint) AS layer,
+       cast(CASE WHEN mode = 0 THEN
+                   CASE hwi WHEN 0 THEN 380 WHEN 1 THEN 370 WHEN 2 THEN 360
+                            WHEN 3 THEN 350 WHEN 4 THEN 340 WHEN 5 THEN 330
+                            WHEN 6 THEN 330 WHEN 7 THEN 150 ELSE 0 END
+                 WHEN mode = 1 THEN
+                   CASE wwi WHEN 0 THEN 120 WHEN 1 THEN 120 WHEN 2 THEN 60
+                            ELSE 0 END
+                 ELSE 0 END as bigint) AS z_order,
+       cast(CASE WHEN mode = 0 THEN
+                   CASE hwi WHEN 0 THEN 5 WHEN 1 THEN 6 WHEN 2 THEN 7
+                            WHEN 3 THEN 9 WHEN 4 THEN 10 WHEN 5 THEN 12
+                            WHEN 6 THEN 12 WHEN 7 THEN 14 ELSE -1 END
+                 WHEN mode = 1 THEN
+                   CASE wwi WHEN 0 THEN 8 WHEN 1 THEN 11 WHEN 2 THEN 13
+                            ELSE -1 END
+                 WHEN mode = 2 THEN 13 WHEN mode = 3 THEN 10
+                 ELSE -1 END as bigint) AS minzoom
+FROM t"""
 
     o["x7b_date_string"] = """
 SELECT cast(event_id as bigint) AS event_id,

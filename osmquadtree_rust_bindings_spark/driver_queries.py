@@ -209,6 +209,92 @@ def q_x9_feature_bounds(spark, sf_dir):
     return out.select(*[F.col(c).cast("long").alias(c) for c in out.columns])
 
 
+def q_x11_wkb_point(spark, sf_dir):
+    # X11 EWKB point (reference wkb(transform, srid), src/geometry.rs:
+    # 255-257): mercator ints (shared sqlgen fragment) -> EWKB srid=3857,
+    # compared as hex.  scale=1.0 keeps every double integer-valued, so
+    # the oracle reconstructs the IEEE-754 bytes exactly with integer SQL.
+    from osmquadtree_rust_bindings_spark.functions import wkb as W
+
+    pts = _pts(spark, sf_dir)
+    m = pts.select(F.col("rowkey").cast("long").alias("id"),
+                   F.expr(sqlgen.merc_x_expr("lon")).alias("mx"),
+                   F.expr(sqlgen.merc_y_expr("lat")).alias("my"))
+    return m.select(
+        "id",
+        F.hex(W.point_wkb(F.col("mx"), F.col("my"), transform=False,
+                          srid=3857, scale=1.0)).alias("wkb_hex"))
+
+
+def q_x11_wkb_line(spark, sf_dir):
+    # X11 EWKB linestring over the J7 way assembly (reference
+    # src/geometry.rs:384-386), mercator-int vertices, hex-compared
+    from osmquadtree_rust_bindings_spark.functions import wkb as W
+
+    pts = _pts(spark, sf_dir)
+    nodes = pts.select(
+        (F.col("rowkey") / 8).cast("long").alias("way_id"),
+        (F.col("rowkey") % 8).cast("int").alias("pos"),
+        F.expr(sqlgen.merc_x_expr("lon")).alias("mx"),
+        F.expr(sqlgen.merc_y_expr("lat")).alias("my"))
+    ways = nodes.groupBy("way_id").agg(
+        F.sort_array(F.collect_list(F.struct("pos", "mx", "my")))
+        .alias("line"))
+    return ways.select(
+        "way_id",
+        F.hex(W.linestring_wkb(
+            F.transform("line", lambda v: v.mx),
+            F.transform("line", lambda v: v.my),
+            transform=False, srid=3857, scale=1.0)).alias("wkb_hex"))
+
+
+_HW_VALS = ["motorway", "trunk", "primary", "secondary", "tertiary",
+            "residential", "unclassified", "service", "path"]
+_WW_VALS = ["river", "canal", "stream", "drain"]
+
+
+def q_x16_style_attrs(spark, sf_dir):
+    # X16 prep_style/prep_minzoom (reference src/geometry.rs:709-758,
+    # 816-825): a deterministic tags map per part row (one feature key by
+    # partkey mod 5, optional layer tag) -> (layer, z_order, minzoom)
+    # render attributes via the pinned default style, all codegen CASEs
+    from osmquadtree_rust_bindings_spark.functions import style as ST
+
+    p = _read(spark, sf_dir, "part").select(
+        F.col("p_partkey").cast("long").alias("id"),
+        (F.col("p_partkey") % 5).alias("mode"),
+        F.element_at(F.array(*[F.lit(v) for v in _HW_VALS]),
+                     (F.col("p_partkey") % 9 + 1).cast("int")).alias("hw"),
+        F.element_at(F.array(*[F.lit(v) for v in _WW_VALS]),
+                     (F.col("p_partkey") % 4 + 1).cast("int")).alias("ww"),
+        (F.col("p_partkey") % 7 - 3).cast("string").alias("lyr"),
+        (F.col("p_partkey") % 2).alias("has_layer"))
+    fkey = (F.when(F.col("mode") == 0, F.lit("highway"))
+            .when(F.col("mode") == 1, F.lit("waterway"))
+            .when(F.col("mode") == 2, F.lit("building"))
+            .when(F.col("mode") == 3, F.lit("landuse"))
+            .otherwise(F.lit("name")))
+    fval = (F.when(F.col("mode") == 0, F.col("hw"))
+            .when(F.col("mode") == 1, F.col("ww"))
+            .when(F.col("mode") == 2, F.lit("yes"))
+            .when(F.col("mode") == 3, F.lit("forest"))
+            .otherwise(F.lit("x")))
+    tagged = p.select(
+        "id",
+        F.map_from_arrays(
+            F.when(F.col("has_layer") == 1,
+                   F.array(fkey, F.lit("layer")))
+            .otherwise(F.array(fkey)),
+            F.when(F.col("has_layer") == 1, F.array(fval, F.col("lyr")))
+            .otherwise(F.array(fval))).alias("tags"))
+    out = ST.with_render_attrs(tagged)
+    return out.select(
+        "id", F.col("layer").cast("long").alias("layer"),
+        F.col("z_order").cast("long").alias("z_order"),
+        F.coalesce(F.col("minzoom"), F.lit(-1)).cast("long")
+        .alias("minzoom"))
+
+
 def q_x7_time_rollup(spark, sf_dir):
     ev = _read(spark, sf_dir, "events")
     return (

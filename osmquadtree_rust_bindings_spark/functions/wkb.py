@@ -6,10 +6,19 @@ vectorized numpy kernel inside pandas UDFs: headers and coordinate
 payloads are assembled as uint8 matrices and sliced per row — no
 per-coordinate Python.  ``transform=True`` emits spherical-mercator
 meters (reference ``LonLat::forward``, X8); ``srid`` adds the EWKB SRID
-flag+value.  Coordinates in: int 1e-7 degrees.
+flag+value.  Coordinates in: int 1e-7 degrees (``scale=1e-7``), or any
+other fixed-point scale — ``scale=1.0`` takes already-projected integer
+coordinates verbatim, which keeps every emitted double integer-valued
+and therefore bit-exactly reconstructible by the SQL oracle.
+
+All multi-byte fields are serialized EXPLICITLY little-endian
+(struct.pack('<I') / astype('<f8')) so the bytes are identical on any
+host endianness, matching the leading 0x01 byte-order flag.
 """
 
 from __future__ import annotations
+
+import struct
 
 import numpy as np
 import pandas as pd
@@ -21,9 +30,10 @@ EARTH_R = 6378137.0  # spherical-mercator radius (EPSG:3857)
 _SRID_FLAG = 0x20000000
 
 
-def _coords(lon_i: np.ndarray, lat_i: np.ndarray, transform: bool):
-    lon = lon_i.astype(np.float64) * 1e-7
-    lat = lat_i.astype(np.float64) * 1e-7
+def _coords(lon_i: np.ndarray, lat_i: np.ndarray, transform: bool,
+            scale: float):
+    lon = lon_i.astype(np.float64) * scale
+    lat = lat_i.astype(np.float64) * scale
     if not transform:
         return lon, lat
     x = np.deg2rad(lon) * EARTH_R
@@ -33,20 +43,20 @@ def _coords(lon_i: np.ndarray, lat_i: np.ndarray, transform: bool):
 
 def _header(geom_type: int, srid: int | None) -> bytes:
     t = geom_type | (_SRID_FLAG if srid is not None else 0)
-    hdr = b"\x01" + np.uint32(t).tobytes()
+    hdr = b"\x01" + struct.pack("<I", t)
     if srid is not None:
-        hdr += np.uint32(srid).tobytes()
+        hdr += struct.pack("<I", srid)
     return hdr
 
 
 def point_wkb(lon_col: Column, lat_col: Column, transform: bool = False,
-              srid: int | None = None) -> Column:
+              srid: int | None = None, scale: float = 1e-7) -> Column:
     hdr = _header(1, srid)
 
     @pandas_udf("binary")
     def fn(lon: pd.Series, lat: pd.Series) -> pd.Series:
         x, y = _coords(lon.to_numpy(np.int64), lat.to_numpy(np.int64),
-                       transform)
+                       transform, scale)
         pay = np.empty((len(x), 2), dtype=np.float64)
         pay[:, 0], pay[:, 1] = x, y
         raw = pay.astype("<f8").view(np.uint8).reshape(len(x), 16)
@@ -55,27 +65,29 @@ def point_wkb(lon_col: Column, lat_col: Column, transform: bool = False,
     return fn(lon_col, lat_col)
 
 
-def _ring_bytes(lons, lats, transform: bool, close: bool) -> bytes:
+def _ring_bytes(lons, lats, transform: bool, close: bool,
+                scale: float) -> bytes:
     lon = np.asarray(lons, dtype=np.int64)
     lat = np.asarray(lats, dtype=np.int64)
-    if close and (len(lon) == 0 or lon[0] != lon[-1] or lat[0] != lat[-1]):
+    # empty ring: emit npts=0, nothing to close
+    if close and len(lon) and (lon[0] != lon[-1] or lat[0] != lat[-1]):
         lon = np.append(lon, lon[0])
         lat = np.append(lat, lat[0])
-    x, y = _coords(lon, lat, transform)
+    x, y = _coords(lon, lat, transform, scale)
     pay = np.empty((len(x), 2), dtype=np.float64)
     pay[:, 0], pay[:, 1] = x, y
-    return np.uint32(len(x)).tobytes() + pay.astype("<f8").tobytes()
+    return struct.pack("<I", len(x)) + pay.astype("<f8").tobytes()
 
 
 def linestring_wkb(lons_col: Column, lats_col: Column,
                    transform: bool = False,
-                   srid: int | None = None) -> Column:
+                   srid: int | None = None, scale: float = 1e-7) -> Column:
     hdr = _header(2, srid)
 
     @pandas_udf("binary")
     def fn(lons: pd.Series, lats: pd.Series) -> pd.Series:
         return pd.Series([
-            hdr + _ring_bytes(lo, la, transform, close=False)
+            hdr + _ring_bytes(lo, la, transform, close=False, scale=scale)
             for lo, la in zip(lons, lats)])
 
     return fn(lons_col, lats_col)
@@ -83,15 +95,15 @@ def linestring_wkb(lons_col: Column, lats_col: Column,
 
 def polygon_wkb(lons_col: Column, lats_col: Column,
                 transform: bool = False,
-                srid: int | None = None) -> Column:
+                srid: int | None = None, scale: float = 1e-7) -> Column:
     """Single-ring polygon (reference SimplePolygon); ring auto-closed."""
     hdr = _header(3, srid)
 
     @pandas_udf("binary")
     def fn(lons: pd.Series, lats: pd.Series) -> pd.Series:
         return pd.Series([
-            hdr + np.uint32(1).tobytes()
-            + _ring_bytes(lo, la, transform, close=True)
+            hdr + struct.pack("<I", 1)
+            + _ring_bytes(lo, la, transform, close=True, scale=scale)
             for lo, la in zip(lons, lats)])
 
     return fn(lons_col, lats_col)

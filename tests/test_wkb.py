@@ -64,3 +64,18 @@ def test_linestring_and_polygon_wkb(spark):
     assert struct.unpack("<I", pg[9:13])[0] == 4         # auto-closed
     # last vertex == first vertex
     assert pg[13:29] == pg[13 + 3 * 16:13 + 4 * 16]
+
+
+def test_empty_ring_no_crash(spark):
+    # regression: close=True on an empty ring used to index lon[0]
+    df = spark.createDataFrame(pd.DataFrame({
+        "id": [1], "lons": [[]], "lats": [[]]}),
+        "id long, lons array<long>, lats array<long>")
+    pg = df.select(W.polygon_wkb(F.col("lons"), F.col("lats"))
+                   .alias("wkb")).toPandas().wkb.iloc[0]
+    assert struct.unpack("<I", pg[5:9])[0] == 1   # nrings
+    assert struct.unpack("<I", pg[9:13])[0] == 0  # npts
+    assert len(pg) == 13
+    ls = df.select(W.linestring_wkb(F.col("lons"), F.col("lats"))
+                   .alias("wkb")).toPandas().wkb.iloc[0]
+    assert struct.unpack("<I", ls[5:9])[0] == 0
