@@ -76,6 +76,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s11b_audio_features": DQ.q_s11b_audio_features,
         "s14_tile_counts": DQ.q_s14_tile_counts,
         "a10_tile_plan": DQ.q_a10_tile_plan,
+        "a10_plan_invariants": DQ.q_a10_plan_invariants,
+        "a11_assign_invariants": DQ.q_a11_assign_invariants,
         "a11_tile_assign": DQ.q_a11_tile_assign,
         "j11_bbox_join": DQ.q_j11_bbox_join,
         "j9_pip_join": DQ.q_j9_pip_join,

@@ -224,6 +224,22 @@ SELECT cast(way_id as bigint) AS way_id,
        END AS qt_group
 FROM d"""
 
+    # A10/A11 invariant gates: the bin-packed plan itself is driver-side,
+    # but its contracts are oracle-checkable — weights partition the
+    # corpus (count recomputed here), no non-root group > 2x target, and
+    # the assignment is the longest prefix (violation counts pinned 0)
+    o["a10_plan_invariants"] = f"""
+SELECT cast(count(*) as bigint) AS num_points,
+       cast(count(*) as bigint) AS total_weight,
+       cast(0 as bigint) AS num_oversize
+FROM {PTS}"""
+
+    o["a11_assign_invariants"] = f"""
+SELECT cast(count(*) as bigint) AS num_points,
+       cast(0 as bigint) AS bad_prefix,
+       cast(0 as bigint) AS not_longest
+FROM {PTS}"""
+
     o["x8_mercator"] = sqlgen.mercator_xy_sql(PTS, "rowkey", "lon", "lat")
 
     # X11 EWKB hex: header = byte-order 01, type 0x20000001 LE, srid 3857

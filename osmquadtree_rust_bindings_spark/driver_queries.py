@@ -393,6 +393,52 @@ def q_a10_tile_plan(spark, sf_dir):
                                                 "weight": "int64"}))
 
 
+def q_a10_plan_invariants(spark, sf_dir):
+    # A10 hash-gated invariants: the oracle cannot replay driver-side
+    # bin-packing, but a correct plan MUST satisfy (a) group weights sum
+    # to the exact input row count (partition of the corpus — oracle
+    # recomputes the count independently), (b) no non-root group exceeds
+    # 2x target (normative §8.5 greedy bound — oracle pins 0 violations).
+    pts = _pts_with_qt(spark, sf_dir)
+    cells = TIL.prepare_quadtree_tree(pts, "qt_point", maxdepth=10)
+    groups = TIL.find_tree_groups(cells, target=2000)
+    total_weight = int(groups["weight"].sum())
+    num_oversize = int(((groups["weight"].to_numpy() > 2 * 2000)
+                        & (groups["tile"].to_numpy() != 0)).sum())
+    return pts.agg(
+        F.count(F.lit(1)).cast("long").alias("num_points"),
+        F.lit(total_weight).cast("long").alias("total_weight"),
+        F.lit(num_oversize).cast("long").alias("num_oversize"))
+
+
+def q_a11_assign_invariants(spark, sf_dir):
+    # A11 hash-gated invariants: every point's assigned tile must be a
+    # prefix-ancestor of its qt (bad_prefix = 0), and the DEEPEST such
+    # plan tile (not_longest = 0) — checked distributed with qt_is_parent
+    # against the broadcast plan; num_points recomputed by the oracle.
+    pts = _pts_with_qt(spark, sf_dir)
+    cells = TIL.prepare_quadtree_tree(pts, "qt_point", maxdepth=10)
+    groups = TIL.find_tree_groups(cells, target=2000)
+    assigned = TIL.assign_tiles(pts, groups, qt_col="qt_point")
+    plan = spark.createDataFrame(
+        groups[["tile"]].astype({"tile": "int64"})).withColumnRenamed(
+        "tile", "ptile")
+    cand = (assigned.select("rowkey", "qt_point", "tile")
+            .crossJoin(F.broadcast(plan))
+            .filter(Q.qt_is_parent(F.col("ptile"), F.col("qt_point"))))
+    best = cand.groupBy("rowkey", "qt_point", "tile").agg(
+        F.max_by("ptile", F.col("ptile").bitwiseAND(F.lit(31)))
+        .alias("best"))
+    per_point = best.select(
+        (~Q.qt_is_parent(F.col("tile"), F.col("qt_point")))
+        .cast("long").alias("bad"),
+        (F.col("tile") != F.col("best")).cast("long").alias("nl"))
+    return per_point.agg(
+        F.count(F.lit(1)).cast("long").alias("num_points"),
+        F.sum("bad").cast("long").alias("bad_prefix"),
+        F.sum("nl").cast("long").alias("not_longest"))
+
+
 def q_j11_bbox_join(spark, sf_dir):
     pts = _pts_with_qt(spark, sf_dir)
     return SJ.bbox_join(pts, _bbox_queries(), point_id="rowkey").select(
