@@ -31,12 +31,17 @@ from osmquadtree_rust_bindings_spark.operators import tiling as T
 class TilingPipeline:
     def __init__(self, spark: SparkSession, workdir: str,
                  run_id: str | None = None, group_target: int = T.GROUP_TARGET,
-                 group_depth: int = 17, salt_over: int | None = None):
+                 group_depth: int = 17, salt_over: int | None = None,
+                 use_broadcast: bool = True):
         self.spark = spark
         self.lineage = Lineage(workdir, run_id)
         self.group_target = group_target
         self.group_depth = group_depth
         self.salt_over = salt_over
+        # broadcast-join assignment (zero Python in the hot path — the
+        # measured scale path); the pandas longest-prefix kernel remains
+        # as the fallback for qt domains with no cell histogram
+        self.use_broadcast = use_broadcast
 
     def run(self, images: DataFrame) -> dict[str, DataFrame]:
         spark = self.spark
@@ -51,17 +56,32 @@ class TilingPipeline:
                         T.choose_plan_depth(calc, "qt"))
             cells = T.prepare_quadtree_tree(calc, "qt", depth)
             groups = T.find_tree_groups(cells, target=self.group_target)
+            # persist the planning depth with the plan so a resumed run
+            # reuses the exact same assignment domain
+            groups["plan_depth"] = depth
             return spark.createDataFrame(
-                groups.astype({"tile": np.int64, "weight": np.int64}))
+                groups.astype({"tile": np.int64, "weight": np.int64,
+                               "plan_depth": np.int64}))
 
         plan_df = lin.run_stage(spark, "tileplan", plan)
-        groups_pdf = plan_df.toPandas().astype(
-            {"tile": np.int64, "weight": np.int64})
+        plan_pdf = plan_df.toPandas().astype(
+            {"tile": np.int64, "weight": np.int64, "plan_depth": np.int64})
+        groups_pdf = plan_pdf[["tile", "weight"]]
+        plan_depth = int(plan_pdf["plan_depth"].iloc[0])
 
-        tiled = lin.run_stage(
-            spark, "tiled",
-            lambda: T.assign_tiles(calc, groups_pdf,
-                                   salt_over=self.salt_over))
+        def assign() -> DataFrame:
+            if not self.use_broadcast:
+                return T.assign_tiles(calc, groups_pdf,
+                                      salt_over=self.salt_over)
+            # the cell domain is bounded (choose_plan_depth keeps it under
+            # max_cells), so rebuilding it is one narrow agg; assignment
+            # is then a broadcast equi-join on the compacted cell key
+            cells = T.prepare_quadtree_tree(calc, "qt", plan_depth)
+            return T.assign_tiles_broadcast(calc, cells, groups_pdf,
+                                            plan_depth,
+                                            salt_over=self.salt_over)
+
+        tiled = lin.run_stage(spark, "tiled", assign)
 
         counts = lin.run_stage(
             spark, "counts",

@@ -83,23 +83,49 @@ def stream_cdc_apply(spark: SparkSession, changes_path: str, schema: str,
 
 def stream_first_seen(stream_df: DataFrame, key_col: str = "image_id",
                       group_col: str = "tile",
-                      timeout_ms: int | None = None) -> DataFrame:
+                      timeout_ms: int | None = 3_600_000,
+                      state_mode: str = "exact",
+                      bloom_bits: int = 1 << 20,
+                      bloom_hashes: int = 7) -> DataFrame:
     """Cross-micro-batch first-seen dedup, stateful per tile group
     (applyInPandasWithState).  Emits each (group, key) the first time it is
     ever seen across the life of the stream; re-deliveries in later batches
     are suppressed by the per-group state.
 
+    State is BOUNDED two ways:
+    - a processing-time timeout (default 1h) ages out idle groups — a
+      timed-out group's state is REMOVED, so an unbounded tile universe
+      cannot accrete state forever.  Pass ``timeout_ms=None`` only for
+      short-lived drains.
+    - ``state_mode="bloom"`` replaces the exact id set with a fixed-size
+      Bloom filter (``bloom_bits`` bits, ``bloom_hashes`` probes): state
+      per group is a constant ``bloom_bits/8`` bytes no matter how many
+      keys stream through.  Tradeoff: false positives suppress a
+      first-seen event with probability ~(1-e^{-kn/m})^k (~0.8% at
+      n=100k, m=2^20, k=7); use "exact" where emission must be lossless.
+
     Scale shape: state is partitioned BY TILE (the same key the batch
-    engine shuffles on), so each state partition holds one tile's id set —
-    bounded by tile weight, which the A10 planner already caps at the group
-    target.  Production would age state with a timeout (pass timeout_ms)
-    or swap the exact id set for a Bloom filter; the operator contract is
-    unchanged.
+    engine shuffles on), so each exact-mode state partition holds one
+    tile's id set — bounded by tile weight, which the A10 planner already
+    caps at the group target.
     """
+    import numpy as np
     import pandas as pd
     from pyspark.sql.streaming.state import GroupStateTimeout
 
-    def fn(key, pdfs, state):
+    if state_mode not in ("exact", "bloom"):
+        raise ValueError(f"state_mode must be exact|bloom, got {state_mode}")
+    m, k = int(bloom_bits), int(bloom_hashes)
+    assert m % 8 == 0 and m & (m - 1) == 0, "bloom_bits must be 2^n"
+
+    def _emit(key, ids):
+        return pd.DataFrame({group_col: key[0], key_col: ids})
+
+    def fn_exact(key, pdfs, state):
+        if state.hasTimedOut:
+            state.remove()
+            yield _emit(key, pd.Series([], dtype=object))
+            return
         seen = set(state.get[0]) if state.exists else set()
         out = []
         for pdf in pdfs:
@@ -108,18 +134,54 @@ def stream_first_seen(stream_df: DataFrame, key_col: str = "image_id",
                 uniq = fresh.drop_duplicates()
                 seen.update(uniq)
                 out.append(uniq)
+        state.update((sorted(seen),))
         if timeout_ms is not None:
             state.setTimeoutDuration(timeout_ms)
-        state.update((sorted(seen),))
         ids = pd.concat(out) if out else pd.Series([], dtype=object)
-        yield pd.DataFrame({group_col: key[0], key_col: ids})
+        yield _emit(key, ids)
+
+    def fn_bloom(key, pdfs, state):
+        if state.hasTimedOut:
+            state.remove()
+            yield _emit(key, pd.Series([], dtype=object))
+            return
+        arr = (np.frombuffer(state.get[0], dtype=np.uint8).copy()
+               if state.exists else np.zeros(m // 8, dtype=np.uint8))
+        probes = np.arange(k, dtype=np.uint64)
+        out = []
+        for pdf in pdfs:
+            u = pdf[key_col].drop_duplicates()
+            if not len(u):
+                continue
+            # double hashing from the deterministic 64-bit pandas hash
+            # (fixed hash key -> identical across executors/restarts)
+            h = pd.util.hash_pandas_object(u, index=False) \
+                .to_numpy(np.uint64)
+            pos = ((h & np.uint64(0xFFFFFFFF))[:, None]
+                   + probes[None, :] * (h >> np.uint64(32))[:, None]) \
+                % np.uint64(m)
+            byte, bit = (pos >> np.uint64(3)).astype(np.int64), pos & np.uint64(7)
+            present = ((arr[byte] >> bit) & 1).all(axis=1)
+            fresh_byte = byte[~present].ravel()
+            fresh_bit = bit[~present].ravel()
+            np.bitwise_or.at(arr, fresh_byte,
+                             (np.uint8(1) << fresh_bit.astype(np.uint8)))
+            fresh = u[~present]
+            if len(fresh):
+                out.append(fresh)
+        state.update((arr.tobytes(),))
+        if timeout_ms is not None:
+            state.setTimeoutDuration(timeout_ms)
+        ids = pd.concat(out) if out else pd.Series([], dtype=object)
+        yield _emit(key, ids)
 
     timeout = (GroupStateTimeout.ProcessingTimeTimeout
                if timeout_ms is not None else GroupStateTimeout.NoTimeout)
     return stream_df.groupBy(group_col).applyInPandasWithState(
-        fn,
+        fn_exact if state_mode == "exact" else fn_bloom,
         outputStructType=f"{group_col} long, {key_col} string",
-        stateStructType="seen array<string>",
+        stateStructType=("seen array<string>" if state_mode == "exact"
+                         else "bloom binary"),
         outputMode="append",
         timeoutConf=timeout,
     )

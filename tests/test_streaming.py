@@ -84,7 +84,7 @@ def test_stream_first_seen_dedup_across_batches(spark, tmp_path):
             .write.mode("append").parquet(src)
         stream = spark.readStream.schema("image_id string, tile long") \
             .format("parquet").load(src)
-        q = (ING.stream_first_seen(stream)
+        q = (ING.stream_first_seen(stream, timeout_ms=None)
              .writeStream.format("parquet").option("path", out)
              .option("checkpointLocation", ckp)
              .trigger(availableNow=True).start())
@@ -100,3 +100,41 @@ def test_stream_first_seen_dedup_across_batches(spark, tmp_path):
     got2 = spark.read.parquet(out).toPandas()
     assert len(got2) == 500
     assert got2.image_id.nunique() == 500
+
+
+def test_stream_first_seen_bloom_bounded_state(spark, tmp_path):
+    # bloom mode: constant-size state regardless of key volume; exact
+    # output on this fixture (fp rate ~1e-5 at n=500, m=2^17)
+    src = str(tmp_path / "bl_src")
+    out = str(tmp_path / "bl_out")
+    ckp = str(tmp_path / "bl_ckp")
+
+    def drain(lo, hi):
+        pdf = I.make_images_pdf(lo, hi, with_bytes=False)[["image_id",
+                                                           "phash"]]
+        pdf["tile"] = pdf.phash.to_numpy(np.int64) % 4
+        spark.createDataFrame(pdf[["image_id", "tile"]]) \
+            .write.mode("append").parquet(src)
+        stream = spark.readStream.schema("image_id string, tile long") \
+            .format("parquet").load(src)
+        q = (ING.stream_first_seen(stream, timeout_ms=None,
+                                   state_mode="bloom",
+                                   bloom_bits=1 << 17)
+             .writeStream.format("parquet").option("path", out)
+             .option("checkpointLocation", ckp)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    drain(0, 300)
+    # re-deliver everything + 200 new: only the new may emerge, and the
+    # persisted state stays one fixed-size bloom per tile group
+    drain(0, 500)
+    got = spark.read.parquet(out).toPandas()
+    assert got.image_id.nunique() == len(got)
+    assert len(got) == 500
+    # state store on disk: each group's state is the 16 KiB bloom, not a
+    # growing id list — assert the checkpoint state files stay small
+    import pathlib
+    state_bytes = sum(f.stat().st_size for f in
+                      pathlib.Path(ckp).rglob("*") if f.is_file())
+    assert state_bytes < 4 * (1 << 17)  # ~4 tiles x 16KiB + metadata
