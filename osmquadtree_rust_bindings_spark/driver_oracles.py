@@ -95,6 +95,20 @@ SELECT cast(count(*) as bigint) AS num,
          AS num_empties
 FROM orders LEFT JOIN m ON o_orderkey = l_orderkey"""
 
+    # S12: latest-wins + idset + bbox, replayed declaratively (the CASE
+    # encodes which rows the change snapshot overrides)
+    bx = DQ.BBOX_LIT
+    o["s12_filtered_merge"] = f"""
+WITH m AS (SELECT rowkey,
+                  CASE WHEN rowkey % 3 = 0 THEN 2 ELSE 1 END AS version,
+                  lon, lat
+           FROM {PTS})
+SELECT cast(rowkey as bigint) AS rowkey, cast(version as bigint) AS version,
+       cast(lon as bigint) AS lon, cast(lat as bigint) AS lat
+FROM m
+WHERE rowkey % 2 = 0 AND lon BETWEEN {bx[0]} AND {bx[2]}
+  AND lat BETWEEN {bx[1]} AND {bx[3]}"""
+
     o["x7_time_rollup"] = """
 SELECT cast(year(ts) * 100 + month(ts) as bigint) AS ym,
        cast(count(*) as bigint) AS num,

@@ -295,6 +295,30 @@ def q_x16_style_attrs(spark, sf_dir):
         .alias("minzoom"))
 
 
+def q_s12_filtered_merge(spark, sf_dir):
+    # S12 write_merged (reference src/readpbf.rs:675-682): base + change
+    # snapshots -> latest-wins merge, IdSet semi-join + bbox filter, write
+    # as a new snapshot, read back.  The WRITE is real (temp catalog);
+    # the read-back contents are fully SQL-replayable -> hash gate.
+    import tempfile
+
+    from osmquadtree_rust_bindings_spark.sources.catalog import Catalog
+
+    pts = _pts(spark, sf_dir)
+    cat = Catalog(tempfile.mkdtemp(prefix="s12_"))
+    base = pts.select("rowkey", F.lit(1).alias("version"), "lon", "lat")
+    cat.write(base, "t")
+    chg = base.filter(F.col("rowkey") % 3 == 0) \
+        .withColumn("version", F.lit(2))
+    cat.write(chg, "t", mode="append")
+    ids = pts.filter(F.col("rowkey") % 2 == 0).select("rowkey")
+    cat.write_merged(spark, "t", "t_out", key=["rowkey"], ids=ids,
+                     bbox=BBOX_LIT, sort=True)
+    out = cat.read(spark, "t_out")
+    return out.select(*[F.col(c).cast("long").alias(c)
+                        for c in ["rowkey", "version", "lon", "lat"]])
+
+
 def q_x7_time_rollup(spark, sf_dir):
     ev = _read(spark, sf_dir, "events")
     return (
