@@ -42,26 +42,42 @@ def min_sec_str(t) -> str:
     return "%4dm%4.1fs" % (mins, t - mins * 60)
 
 
-def _decode(col: Column, table: dict[str, str]) -> Column:
-    out = col
+def _decode(col: Column, table: dict[str, str],
+            full_values: list[str]) -> Column:
+    # reference *_from_str semantics (src/elements.rs:558-574): input is
+    # lowercased, full names and aliases both accepted, anything else is
+    # an error — null is the Column-friendly error sentinel
+    low = F.lower(col)
+    out = F.when(low.isin(full_values), low) \
+        .otherwise(F.lit(None).cast("string"))
     for short, full in table.items():
-        out = F.when(col == short, F.lit(full)).otherwise(out)
+        out = F.when(low == short, F.lit(full)).otherwise(out)
     return out
 
 
 def changetype_decode(col: Column) -> Column:
-    """1-letter alias -> full changetype name (full names pass through)."""
-    return _decode(col, CHANGETYPE_ALIAS)
+    """alias or full name (any case) -> full changetype name; unknown
+    values decode to null (the reference raises)."""
+    return _decode(col, CHANGETYPE_ALIAS, CHANGETYPES)
 
 
 def changetype_encode(col: Column) -> Column:
-    """full name -> 1-letter alias."""
-    return _decode(col, {v: k for k, v in CHANGETYPE_ALIAS.items()})
+    """full name (any case) -> 1-letter alias; unknown -> null."""
+    rev = {v: k for k, v in CHANGETYPE_ALIAS.items()}
+    low = F.lower(col)
+    out = F.lit(None).cast("string")
+    for full, short in rev.items():
+        out = F.when(low == full, F.lit(short)).otherwise(out)
+    return out
 
 
 def elementtype_decode(col: Column) -> Column:
-    return _decode(col, ELEMENTTYPES)
+    return _decode(col, ELEMENTTYPES, list(ELEMENTTYPES.values()))
 
 
 def elementtype_encode(col: Column) -> Column:
-    return _decode(col, {v: k for k, v in ELEMENTTYPES.items()})
+    low = F.lower(col)
+    out = F.lit(None).cast("string")
+    for short, full in ELEMENTTYPES.items():
+        out = F.when(low == full, F.lit(short)).otherwise(out)
+    return out

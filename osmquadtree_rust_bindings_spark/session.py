@@ -50,8 +50,13 @@ def ensure_shipped(spark: SparkSession) -> None:
         return
     try:
         sc.addPyFile(build_pyfiles_zip())
-    except Exception:
-        pass  # same file already registered on this context
+    except Exception as e:
+        # re-registering the same zip on a context is benign; any OTHER
+        # failure (zip build, JVM error) must surface now — swallowed, it
+        # resurfaces later as opaque executor ImportErrors
+        msg = str(e).lower()
+        if "already" not in msg and "exists" not in msg:
+            raise
     _shipped.add(id(sc))
 
 

@@ -87,3 +87,16 @@ def test_changetype_codecs(spark):
     back = df2.select(FMT.elementtype_encode(
         FMT.elementtype_decode(df2.et)).alias("b")).toPandas()
     assert list(back.b) == ["n", "w", "r"]
+
+
+def test_changetype_decode_case_and_unknown(spark):
+    df = spark.createDataFrame(
+        pd.DataFrame({"ct": ["N", "Delete", "MODIFY", "bogus", "x"]}))
+    got = df.select(FMT.changetype_decode(df.ct).alias("full")).toPandas()
+    assert list(got.full) == ["normal", "delete", "modify", None, None]
+    df2 = spark.createDataFrame(pd.DataFrame({"et": ["Node", "W", "zzz"]}))
+    got2 = df2.select(FMT.elementtype_decode(df2.et).alias("full")).toPandas()
+    assert list(got2.full) == ["node", "way", None]
+    got3 = df2.select(FMT.elementtype_encode(
+        FMT.elementtype_decode(df2.et)).alias("b")).toPandas()
+    assert list(got3.b) == ["n", "w", None]
