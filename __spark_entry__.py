@@ -65,6 +65,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x4_prefix_range_count": DQ.q_x4_prefix_range_count,
         "x5_tile_bbox": DQ.q_x5_tile_bbox,
         "x10_geojson": DQ.q_x10_geojson,
+        "x10b_point_geojson": DQ.q_x10b_point_geojson,
+        "x10c_linestring_geojson": DQ.q_x10c_linestring_geojson,
         "x11_wkb_point": DQ.q_x11_wkb_point,
         "x11_wkb_line": DQ.q_x11_wkb_line,
         "x16_style_attrs": DQ.q_x16_style_attrs,

@@ -256,6 +256,25 @@ FROM {PTS}"""
 
     o["x8_mercator"] = sqlgen.mercator_xy_sql(PTS, "rowkey", "lon", "lat")
 
+    o["x10b_point_geojson"] = sqlgen.feature_point_geojson_sql(
+        PTS, "rowkey", "lon", "lat")
+
+    # linestring features: independent string_agg formulation; only the
+    # fixed7 coordinate text is shared
+    fx, fy = sqlgen.fixed7_expr("lon"), sqlgen.fixed7_expr("lat")
+    o["x10c_linestring_geojson"] = f"""
+WITH n AS (SELECT rowkey // 8 AS way_id, rowkey % 8 AS pos, lon, lat
+           FROM {PTS}),
+v AS (SELECT way_id, pos,
+             '[' || {fx} || ',' || {fy} || ']' AS coord FROM n),
+a AS (SELECT way_id, string_agg(coord, ',' ORDER BY pos) AS body
+      FROM v GROUP BY way_id)
+SELECT cast(way_id as bigint) AS way_id,
+       '{{"type":"Feature","properties":{{"id":' || cast(way_id as string)
+       || '}},"geometry":{{"type":"LineString","coordinates":[' || body
+       || ']}}}}' AS geojson
+FROM a"""
+
     # X11 EWKB hex: header = byte-order 01, type 0x20000001 LE, srid 3857
     # LE ('110F0000'); coordinate doubles are integer-valued (mercator
     # ints, scale=1.0) so _le_double_hex reconstructs their IEEE bytes

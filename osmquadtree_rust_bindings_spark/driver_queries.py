@@ -209,6 +209,46 @@ def q_x9_feature_bounds(spark, sf_dir):
     return out.select(*[F.col(c).cast("long").alias(c) for c in out.columns])
 
 
+def q_x10b_point_geojson(spark, sf_dir):
+    # X10 point-feature serialization (reference to_geojson over Point,
+    # src/geometry.rs:243-253): decimal-degree coords via the shared
+    # integer fixed7 formatter — no float printf on either engine
+    _pts(spark, sf_dir).createOrReplaceTempView("__pts_x10b")
+    return spark.sql(sqlgen.feature_point_geojson_sql(
+        "__pts_x10b", "rowkey", "lon", "lat"))
+
+
+def _fixed7_col(v):
+    a = F.abs(v)
+    return F.concat(
+        F.when(v < 0, F.lit("-")).otherwise(F.lit("")),
+        F.floor(a / F.lit(1e7)).cast("long").cast("string"), F.lit("."),
+        F.lpad((a % 10000000).cast("string"), 7, "0"))
+
+
+def q_x10c_linestring_geojson(spark, sf_dir):
+    # X10 linestring-feature serialization over the J7 way assembly:
+    # Column-algebra array fold on the engine side vs an independent
+    # string_agg formulation in the oracle; coordinate text shared
+    pts = _pts(spark, sf_dir)
+    nodes = pts.select(
+        (F.col("rowkey") / 8).cast("long").alias("way_id"),
+        (F.col("rowkey") % 8).cast("int").alias("pos"), "lon", "lat")
+    ways = nodes.groupBy("way_id").agg(
+        F.sort_array(F.collect_list(F.struct("pos", "lon", "lat")))
+        .alias("line"))
+    body = F.array_join(
+        F.transform("line", lambda v: F.concat(
+            F.lit("["), _fixed7_col(v.lon), F.lit(","),
+            _fixed7_col(v.lat), F.lit("]"))), ",")
+    return ways.select(
+        "way_id",
+        F.concat(F.lit('{"type":"Feature","properties":{"id":'),
+                 F.col("way_id").cast("string"),
+                 F.lit('},"geometry":{"type":"LineString","coordinates":['),
+                 body, F.lit(']}}')).alias("geojson"))
+
+
 def q_x11_wkb_point(spark, sf_dir):
     # X11 EWKB point (reference wkb(transform, srid), src/geometry.rs:
     # 255-257): mercator ints (shared sqlgen fragment) -> EWKB srid=3857,

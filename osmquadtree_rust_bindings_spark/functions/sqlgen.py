@@ -251,6 +251,32 @@ SELECT tile,
 FROM ({inner})"""
 
 
+def fixed7_expr(v: str) -> str:
+    """int 1e-7 units -> exact decimal-degree string ('-123.4567891'):
+    pure integer ops (floor-div + mod + lpad), so the serialized text is
+    byte-identical on any engine — the X10 coordinate formatter that
+    avoids float printf entirely."""
+    a = f"abs({v})"
+    return (f"(CASE WHEN ({v}) < 0 THEN '-' ELSE '' END || "
+            f"cast(cast(floor({a} / 1e7) as bigint) as string) || '.' || "
+            f"lpad(cast(({a} % 10000000) as string), 7, '0'))")
+
+
+def feature_point_geojson_sql(table: str, key: str, lon: str,
+                              lat: str) -> str:
+    """X10 point-feature serialization (reference to_geojson,
+    src/geometry.rs:243-253): GeoJSON Point Feature with decimal-degree
+    coordinates via :func:`fixed7_expr`.  Same fragment text on Spark
+    and DuckDB."""
+    return f"""
+SELECT {key},
+       '{{"type":"Feature","properties":{{"id":' || cast({key} as string)
+       || '}},"geometry":{{"type":"Point","coordinates":['
+       || {fixed7_expr(lon)} || ',' || {fixed7_expr(lat)} || ']}}}}'
+       AS geojson
+FROM {table}"""
+
+
 def qt_views_sql(table: str, qt: str, depth: int) -> str:
     """X1 Quadtree views (reference src/elements.rs:29-36): i64 key ->
     slippy tuple (x, y, z) + 'ABCD' digit-path string, for fixed-depth

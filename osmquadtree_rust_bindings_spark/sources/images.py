@@ -63,11 +63,10 @@ def gen_pixels(i: int, w: int, h: int) -> np.ndarray:
     return pix
 
 
-def encode_image(pixels: np.ndarray, fmt: str) -> bytes:
-    """Encode HxWx3 uint8 pixels. fmt 'png' = lossless, 'jpeg' = lossy."""
-    if HAVE_PIL:
-        raise NotImplementedError(
-            "real PIL codec path not wired in this container build")
+def encode_image_builtin(pixels: np.ndarray, fmt: str) -> bytes:
+    """The package's deterministic codec (always available, byte-stable —
+    the synthetic FIXTURES corpus is generated with THIS so its bytes
+    don't depend on whether PIL is importable)."""
     h, w, _ = pixels.shape
     if fmt == "png":
         return (_MAGIC_LOSSLESS + struct.pack("<HH", w, h)
@@ -79,16 +78,43 @@ def encode_image(pixels: np.ndarray, fmt: str) -> bytes:
     raise ValueError(f"unknown fmt {fmt!r}")
 
 
+def encode_image(pixels: np.ndarray, fmt: str) -> bytes:
+    """Encode HxWx3 uint8 pixels. fmt 'png' = lossless, 'jpeg' = lossy.
+    Uses PIL when importable (real PNG/JPEG wire formats), else the
+    builtin deterministic codec; the formats are distinguished by magic
+    bytes so :func:`decode_image` handles a mixed corpus."""
+    if HAVE_PIL:
+        import io
+
+        buf = io.BytesIO()
+        img = Image.fromarray(pixels, mode="RGB")
+        if fmt == "png":
+            img.save(buf, format="PNG", optimize=False)
+        elif fmt == "jpeg":
+            img.save(buf, format="JPEG", quality=92)
+        else:
+            raise ValueError(f"unknown fmt {fmt!r}")
+        return buf.getvalue()
+    return encode_image_builtin(pixels, fmt)
+
+
 def decode_image(data: bytes) -> np.ndarray:
-    """Decode to HxWx3 uint8 pixels (reference S11 analogue)."""
-    magic, (w, h) = data[:4], struct.unpack("<HH", data[4:8])
-    raw = zlib.decompress(data[8:])
-    arr = np.frombuffer(raw, dtype=np.uint8).reshape(h, w, 3)
-    if magic == _MAGIC_LOSSLESS:
-        return arr.copy()
-    if magic == _MAGIC_LOSSY:
+    """Decode to HxWx3 uint8 pixels (reference S11 analogue).  Sniffs the
+    wire format: the package codec's magics first, then PNG/JPEG via PIL
+    when importable."""
+    magic = data[:4]
+    if magic in (_MAGIC_LOSSLESS, _MAGIC_LOSSY):
+        w, h = struct.unpack("<HH", data[4:8])
+        raw = zlib.decompress(data[8:])
+        arr = np.frombuffer(raw, dtype=np.uint8).reshape(h, w, 3)
+        if magic == _MAGIC_LOSSLESS:
+            return arr.copy()
         deq = arr.astype(np.uint16) * _Q + (_Q // 2)
         return np.minimum(deq, 255).astype(np.uint8)
+    if HAVE_PIL:
+        import io
+
+        return np.asarray(Image.open(io.BytesIO(data)).convert("RGB"))
     raise ValueError(f"unknown image magic {magic!r}")
 
 
@@ -122,7 +148,8 @@ def make_images_pdf(lo: int, hi: int, seed: int = SEED,
     data = None
     if with_bytes:
         data = [
-            encode_image(gen_pixels(int(i), int(wi), int(hi_)), str(f))
+            encode_image_builtin(gen_pixels(int(i), int(wi), int(hi_)),
+                                 str(f))
             for i, wi, hi_, f in zip(idx, w, h, fmt)
         ]
     return pd.DataFrame({
