@@ -256,6 +256,31 @@ FROM {PTS}"""
 
     o["x8_mercator"] = sqlgen.mercator_xy_sql(PTS, "rowkey", "lon", "lat")
 
+    # J8: the multipolygon fixture is rectangles, so every ring's stats
+    # have a closed form per relation id — an INDEPENDENT derivation of
+    # the graph walk's output.  Outer ring: 4 ways, walk starts at member
+    # way 0, which is stored reversed iff r % 3 == 0 (flipping traversal
+    # to clockwise -> negative shoelace, and adding way 3 as the second
+    # reversed way); inner ring: 2 ways, CCW either way, second way
+    # stored reversed iff r is even.
+    o["j8_multipolygon_assembly"] = """
+WITH r AS (SELECT range AS r FROM range(0, 200)),
+p AS (SELECT r, (2 + r % 5) * 10000000 AS w,
+             (1 + r % 3) * 10000000 AS h FROM r)
+SELECT cast(r as bigint) AS rel_id, 'outer' AS role,
+       cast(0 as bigint) AS ring_idx, cast(4 as bigint) AS nways,
+       cast(5 as bigint) AS npts, true AS closed,
+       cast(CASE WHEN r % 3 = 0 THEN -2 * w * h
+                 ELSE 2 * w * h END as bigint) AS area2,
+       cast(CASE WHEN r % 3 = 0 THEN 2 ELSE 1 END as bigint) AS nreversed
+FROM p
+UNION ALL
+SELECT cast(r as bigint), 'inner', cast(0 as bigint), cast(2 as bigint),
+       cast(5 as bigint), true,
+       cast(2 * (w // 2) * (h // 2) as bigint),
+       cast(CASE WHEN r % 2 = 0 THEN 1 ELSE 0 END as bigint)
+FROM p"""
+
     o["x10b_point_geojson"] = sqlgen.feature_point_geojson_sql(
         PTS, "rowkey", "lon", "lat")
 
