@@ -91,8 +91,21 @@ def get_spark(master: str | None = None, app_name: str = "osmquadtree-spark",
         .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
         .config("spark.ui.enabled", "false")
     )
-    if shuffle_partitions is not None:
-        b = b.config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    if shuffle_partitions is None:
+        # Spark's 200 default is a legacy constant: on this box it turns
+        # every small shuffle into 200 ~10ms tasks (measured 4.5x on the
+        # minhash pipeline, whose cached intermediates FREEZE the 200
+        # partitioning — AQE cannot coalesce an InMemoryRelation).  2 x
+        # cores keeps all cores busy with one task wave; on a real
+        # cluster pass shuffle_partitions ~ 2-3 x total executor cores
+        # and let AQE coalesce down / skew-split up from there.
+        try:
+            cores = int(master.split("[")[1].rstrip("]").replace("*", "0")) \
+                or os.cpu_count()
+        except (IndexError, ValueError):
+            cores = os.cpu_count() or 8
+        shuffle_partitions = max(16, 2 * cores)
+    b = b.config("spark.sql.shuffle.partitions", str(shuffle_partitions))
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
     spark = b.getOrCreate()
