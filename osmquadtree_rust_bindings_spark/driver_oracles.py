@@ -109,6 +109,13 @@ FROM m
 WHERE rowkey % 2 = 0 AND lon BETWEEN {bx[0]} AND {bx[2]}
   AND lat BETWEEN {bx[1]} AND {bx[3]}"""
 
+    # §2.8 streaming window rollup: tumbling 10-min windows are
+    # floor-aligned epochs — replayable without any streaming machinery
+    o["s28_stream_window"] = """
+SELECT cast(floor(epoch(ts) / 600) * 600 as bigint) AS win_start,
+       event_type, cast(count(*) as bigint) AS n
+FROM events GROUP BY 1, 2"""
+
     o["x7_time_rollup"] = """
 SELECT cast(year(ts) * 100 + month(ts) as bigint) AS ym,
        cast(count(*) as bigint) AS num,

@@ -359,6 +359,36 @@ def q_s12_filtered_merge(spark, sf_dir):
                         for c in ["rowkey", "version", "lon", "lat"]])
 
 
+def q_s28_stream_window(spark, sf_dir):
+    # §2.8 streaming-native incremental aggregate: event-time tumbling
+    # windows + watermark over a readStream source, drained with
+    # availableNow (the replication-cursor model: a restarted stream
+    # resumes after the last committed batch).  The drained result is a
+    # plain batch table the SQL oracle replays as floor-aligned epochs.
+    import os
+    import tempfile
+    import uuid
+
+    # FileStreamSource requires a directory; expose the single parquet
+    # file through a symlinked temp dir (no data copy)
+    d = tempfile.mkdtemp(prefix="s28_")
+    os.symlink(os.path.abspath(f"{sf_dir}/events.parquet"),
+               os.path.join(d, "events.parquet"))
+    schema = ("event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    src = (spark.readStream.schema(schema).format("parquet").load(d))
+    agg = (src.withWatermark("ts", "30 minutes")
+           .groupBy(F.window("ts", "10 minutes").alias("w"), "event_type")
+           .agg(F.count(F.lit(1)).alias("n")))
+    qname = "s28mem" + uuid.uuid4().hex[:8]
+    q = (agg.writeStream.format("memory").queryName(qname)
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    return spark.table(qname).select(
+        F.unix_timestamp(F.col("w.start")).cast("long").alias("win_start"),
+        "event_type", F.col("n").cast("long").alias("n"))
+
+
 def q_x7_time_rollup(spark, sf_dir):
     ev = _read(spark, sf_dir, "events")
     return (
