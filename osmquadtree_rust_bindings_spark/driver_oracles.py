@@ -109,6 +109,15 @@ FROM m
 WHERE rowkey % 2 = 0 AND lon BETWEEN {bx[0]} AND {bx[2]}
   AND lat BETWEEN {bx[1]} AND {bx[3]}"""
 
+    # F7 as-of read: snapshots 0 (all, v1) + 1 (rowkey%5==0, v2) are
+    # visible at as_of=1, snapshot 2 (v3) is not; latest wins
+    o["f7_asof_read"] = f"""
+SELECT cast(rowkey as bigint) AS rowkey,
+       cast(CASE WHEN rowkey % 5 = 0 THEN 2 ELSE 1 END as bigint)
+         AS version,
+       cast(lon as bigint) AS lon
+FROM {PTS}"""
+
     # §2.8 streaming window rollup: tumbling 10-min windows are
     # floor-aligned epochs — replayable without any streaming machinery
     o["s28_stream_window"] = """

@@ -359,6 +359,29 @@ def q_s12_filtered_merge(spark, sf_dir):
                         for c in ["rowkey", "version", "lon", "lat"]])
 
 
+def q_f7_asof_read(spark, sf_dir):
+    # F7/S5 time-travel read (reference 'change files <= timestamp'
+    # selection, src/readpbf.rs:585-590): three snapshots written to a
+    # temp catalog, read back as-of snapshot 2 (latest excluded), merged
+    # latest-wins.  Fully SQL-replayable.
+    import tempfile
+
+    from osmquadtree_rust_bindings_spark.operators.diff import merge_latest
+    from osmquadtree_rust_bindings_spark.sources.catalog import Catalog
+
+    pts = _pts(spark, sf_dir)
+    cat = Catalog(tempfile.mkdtemp(prefix="f7_"))
+    base = pts.select("rowkey", F.lit(1).alias("version"), "lon")
+    cat.write(base, "t")
+    cat.write(base.filter(F.col("rowkey") % 5 == 0)
+              .withColumn("version", F.lit(2)), "t", mode="append")
+    cat.write(base.filter(F.col("rowkey") % 7 == 0)
+              .withColumn("version", F.lit(3)), "t", mode="append")
+    asof = merge_latest(cat.read(spark, "t", as_of=1), ["rowkey"])
+    return asof.select(*[F.col(c).cast("long").alias(c)
+                         for c in ["rowkey", "version", "lon"]])
+
+
 def q_s28_stream_window(spark, sf_dir):
     # §2.8 streaming-native incremental aggregate: event-time tumbling
     # windows + watermark over a readStream source, drained with
