@@ -75,6 +75,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x8_mercator": DQ.q_x8_mercator,
         "s12_filtered_merge": DQ.q_s12_filtered_merge,
         "f7_asof_read": DQ.q_f7_asof_read,
+        "x14_enum_codecs": DQ.q_x14_enum_codecs,
         "s28_stream_window": DQ.q_s28_stream_window,
         "s13_ordered_rank": DQ.q_s13_ordered_rank,
         "s11_image_decode_stats": DQ.q_s11_image_decode_stats,

@@ -109,6 +109,22 @@ FROM m
 WHERE rowkey % 2 = 0 AND lon BETWEEN {bx[0]} AND {bx[2]}
   AND lat BETWEEN {bx[1]} AND {bx[3]}"""
 
+    # X14: independent decode — direct CASE over the mod index instead
+    # of replaying the alias tables
+    o["x14_enum_codecs"] = """
+WITH t AS (SELECT o_orderkey AS id, o_orderkey % 7 AS i FROM orders)
+SELECT cast(id as bigint) AS id,
+       CASE i WHEN 0 THEN 'normal' WHEN 1 THEN 'delete' WHEN 2 THEN 'remove'
+              WHEN 3 THEN 'modify' WHEN 4 THEN 'unchanged' WHEN 5 THEN 'create'
+              ELSE 'invalid' END AS changetype,
+       CASE i WHEN 0 THEN 'node' WHEN 1 THEN 'way' WHEN 2 THEN 'relation'
+              WHEN 3 THEN 'node' WHEN 4 THEN 'way' WHEN 5 THEN 'relation'
+              ELSE 'invalid' END AS elementtype,
+       CASE i WHEN 0 THEN 'n' WHEN 1 THEN 'w' WHEN 2 THEN 'r'
+              WHEN 3 THEN 'n' WHEN 4 THEN 'w' WHEN 5 THEN 'r'
+              ELSE '?' END AS et_short
+FROM t"""
+
     # F7 as-of read: snapshots 0 (all, v1) + 1 (rowkey%5==0, v2) are
     # visible at as_of=1, snapshot 2 (v3) is not; latest wins
     o["f7_asof_read"] = f"""

@@ -359,6 +359,32 @@ def q_s12_filtered_merge(spark, sf_dir):
                         for c in ["rowkey", "version", "lon", "lat"]])
 
 
+def q_x14_enum_codecs(spark, sf_dir):
+    # X14 changetype/elementtype codecs (reference *_from_str,
+    # src/elements.rs:558-598): mixed-case aliases + full names + an
+    # unknown decoded over the orders table; null (the error sentinel)
+    # mapped to 'invalid' so the gate carries no null column
+    from osmquadtree_rust_bindings_spark.functions import format as FMT
+
+    cts = ["n", "Delete", "REMOVE", "modify", "u", "C", "bogus"]
+    ets = ["n", "Way", "RELATION", "node", "w", "r", "x"]
+    o = _read(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").cast("long").alias("id"),
+        F.element_at(F.array(*[F.lit(v) for v in cts]),
+                     (F.col("o_orderkey") % 7 + 1).cast("int")).alias("ct"),
+        F.element_at(F.array(*[F.lit(v) for v in ets]),
+                     (F.col("o_orderkey") % 7 + 1).cast("int")).alias("et"))
+    return o.select(
+        "id",
+        F.coalesce(FMT.changetype_decode(F.col("ct")), F.lit("invalid"))
+        .alias("changetype"),
+        F.coalesce(FMT.elementtype_decode(F.col("et")), F.lit("invalid"))
+        .alias("elementtype"),
+        F.coalesce(FMT.elementtype_encode(
+            FMT.elementtype_decode(F.col("et"))), F.lit("?"))
+        .alias("et_short"))
+
+
 def q_f7_asof_read(spark, sf_dir):
     # F7/S5 time-travel read (reference 'change files <= timestamp'
     # selection, src/readpbf.rs:585-590): three snapshots written to a
