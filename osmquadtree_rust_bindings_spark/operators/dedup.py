@@ -153,18 +153,18 @@ def minhash_lsh_pairs(df: DataFrame, num_hashes: int = 16, bands: int = 4,
     rows = num_hashes // bands
     sh = shingles(df, text, id_col, n).cache()
     sig = minhash_signatures(df, num_hashes, text, id_col, n,
-                             _shingles=sh).cache()
+                             _shingles=sh)
+    # all band keys in ONE pass: explode of an array projection instead
+    # of a bands-way union (which scanned the signature table per band)
     bucket_cols = []
     for b in range(bands):
         cols = [F.col(f"mh{b * rows + r}") for r in range(rows)]
         bucket_cols.append(
-            F.concat_ws("_", F.lit(str(b)), *[c.cast("string") for c in cols])
-            .alias(f"band{b}"))
-    buckets = sig.select(F.col(id_col), *bucket_cols)
-    stacked = None
-    for b in range(bands):
-        part = buckets.select(F.col(id_col), F.col(f"band{b}").alias("bucket"))
-        stacked = part if stacked is None else stacked.unionByName(part)
+            F.concat_ws("_", F.lit(str(b)),
+                        *[c.cast("string") for c in cols]))
+    stacked = sig.select(
+        F.col(id_col), F.explode(F.array(*bucket_cols)).alias("bucket")
+    ).cache()  # both sides of the self-join read this one pass
     a = stacked.select(F.col(id_col).alias("id_a"), "bucket")
     bb = stacked.select(F.col(id_col).alias("id_b"), "bucket")
     cand = (
@@ -225,15 +225,17 @@ def simhash_dup_pairs(df: DataFrame, bits: int = 16, max_hamming: int = 2,
     sig = simhash_signatures(df, bits, text, id_col).cache()
     chunks = max_hamming + 1
     step = bits // chunks
-    stacked = None
-    for c in range(chunks):
-        mask = ((1 << step) - 1) << (c * step)
-        part = sig.select(
-            F.col(id_col),
-            F.concat_ws("_", F.lit(str(c)),
-                        F.col("simhash").bitwiseAND(F.lit(mask))
-                        .cast("string")).alias("chunk"))
-        stacked = part if stacked is None else stacked.unionByName(part)
+    chunk_cols = [
+        F.concat_ws("_", F.lit(str(c)),
+                    F.col("simhash")
+                    .bitwiseAND(F.lit(((1 << step) - 1) << (c * step)))
+                    .cast("string"))
+        for c in range(chunks)
+    ]
+    # one pass: explode of the chunk-key array instead of a chunks-way
+    # union over the cached signature table
+    stacked = sig.select(F.col(id_col),
+                         F.explode(F.array(*chunk_cols)).alias("chunk"))
     a = stacked.select(F.col(id_col).alias("id_a"), "chunk")
     b = stacked.select(F.col(id_col).alias("id_b"), "chunk")
     cand = (a.join(b, "chunk").filter(F.col("id_a") < F.col("id_b"))
