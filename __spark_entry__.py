@@ -80,6 +80,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s13_ordered_rank": DQ.q_s13_ordered_rank,
         "s11_image_decode_stats": DQ.q_s11_image_decode_stats,
         "s11b_audio_features": DQ.q_s11b_audio_features,
+        "s11c_video_features": DQ.q_s11c_video_features,
         "s14_tile_counts": DQ.q_s14_tile_counts,
         "a10_tile_plan": DQ.q_a10_tile_plan,
         "a10_plan_invariants": DQ.q_a10_plan_invariants,

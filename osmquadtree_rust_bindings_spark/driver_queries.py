@@ -725,6 +725,27 @@ def q_s11_image_decode_stats(spark, sf_dir):
     )
 
 
+def q_s11c_video_features(spark, sf_dir):
+    # S11 analogue for the video modality: opaque frame-stack payload ->
+    # per-clip integer features + every-8th-frame sampling, one Arrow
+    # pass each; binary codec -> rows-only check (like s11/s11b)
+    from osmquadtree_rust_bindings_spark.operators import images as IMG
+    from osmquadtree_rust_bindings_spark.sources import video as SRC
+
+    pdf = SRC.make_videos_pdf(0, 400)
+    df = spark.createDataFrame(pdf).repartition(8)
+    feats = IMG.video_features(df).agg(
+        F.count(F.lit(1)).cast("long").alias("n_clips"),
+        F.sum("n_frames").cast("long").alias("sum_frames"),
+        F.sum("duration_ms").cast("long").alias("sum_ms"),
+        F.max("max_luma").cast("long").alias("max_luma"),
+        F.sum("frame_diff").cast("long").alias("sum_diff"))
+    sampled = IMG.sample_video_frames(df, every_n=8).agg(
+        F.count(F.lit(1)).cast("long").alias("n_sampled"),
+        F.sum(F.length("bytes")).cast("long").alias("sampled_bytes"))
+    return feats.crossJoin(sampled)
+
+
 def q_dedup_exact(spark, sf_dir):
     docs = _read(spark, sf_dir, "documents")
     out = DD.exact_dedup(docs)

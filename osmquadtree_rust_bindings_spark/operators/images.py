@@ -129,15 +129,56 @@ def audio_features(df: DataFrame) -> DataFrame:
         fn, schema=AUDIO_FEATURES_SCHEMA)
 
 
-def sample_video_frames(df: DataFrame, every_n: int = 30) -> DataFrame:
-    """Video frame-sampling plumbing (schema + batching are real; decode is
-    stubbed until a video codec lib exists in the image)."""
+def sample_video_frames(df: DataFrame, every_n: int = 30,
+                        id_col: str = "video_id") -> DataFrame:
+    """Video frame sampling: decode the clip payload, keep every
+    ``every_n``-th frame (plus frame 0), re-encode each kept frame as a
+    standalone image payload.  Arrow-batched; one output row per sampled
+    frame.  Decode/encode use the package codecs (sources.video /
+    sources.images) — a real av library would replace only those calls."""
+    from osmquadtree_rust_bindings_spark.sources import video as V
+    from osmquadtree_rust_bindings_spark.sources.images import (
+        encode_image_builtin,
+    )
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for _ in batches:
-            raise NotImplementedError(
-                "video decode requires a codec library not present in this "
-                "container; plumbing (schema/batching) is in place")
+        for b in batches:
+            rows = []
+            for r in b.itertuples(index=False):
+                frames, _ = V.decode_video(r.bytes)
+                for f in range(0, len(frames), every_n):
+                    rows.append((getattr(r, id_col), f,
+                                 encode_image_builtin(frames[f], "png")))
+            yield pd.DataFrame(rows, columns=[id_col, "frame_no", "bytes"])
 
-    return df.select("image_id", "bytes").mapInPandas(
-        fn, schema="image_id string, frame_no int, bytes binary")
+    return df.select(id_col, "bytes").mapInPandas(
+        fn, schema=f"{id_col} string, frame_no int, bytes binary")
+
+
+def video_features(df: DataFrame, id_col: str = "video_id") -> DataFrame:
+    """Per-clip integer features in one Arrow pass: frame count, duration,
+    total/max luma (integer 2R+5G+B per pixel, summed), and mean frame
+    difference (sum |frame[i] - frame[i-1]|) — the scene-cut signal."""
+    from osmquadtree_rust_bindings_spark.sources import video as V
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for r in b.itertuples(index=False):
+                frames, fps = V.decode_video(r.bytes)
+                x = frames.astype(np.int64)
+                luma = 2 * x[..., 0] + 5 * x[..., 1] + x[..., 2]
+                per_frame = luma.sum(axis=(1, 2))
+                diff = (np.abs(x[1:] - x[:-1]).sum()
+                        if len(x) > 1 else 0)
+                rows.append((getattr(r, id_col), len(frames),
+                             len(frames) * 1000 // fps,
+                             int(per_frame.sum()), int(per_frame.max()),
+                             int(diff)))
+            yield pd.DataFrame(rows, columns=[
+                id_col, "n_frames", "duration_ms", "sum_luma", "max_luma",
+                "frame_diff"])
+
+    return df.select(id_col, "bytes").mapInPandas(
+        fn, schema=(f"{id_col} string, n_frames long, duration_ms long, "
+                    "sum_luma long, max_luma long, frame_diff long"))

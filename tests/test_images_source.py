@@ -108,3 +108,32 @@ def test_audio_features_match_local_oracle(spark):
     assert row.peak == int(np.abs(x).max())
     assert row.zero_crossings == int(np.count_nonzero(
         np.signbit(x[1:]) != np.signbit(x[:-1])))
+
+
+def test_video_codec_roundtrip():
+    from osmquadtree_rust_bindings_spark.sources import video as V
+    frames = V.gen_frames(7, 12, 16, 32)
+    back, fps = V.decode_video(V.encode_video(frames, 24))
+    assert fps == 24 and back.shape == (12, 32, 16, 3)
+    assert (back == frames).all()
+
+
+def test_video_frame_sampling_and_features(spark):
+    from osmquadtree_rust_bindings_spark.operators import images as IMG
+    from osmquadtree_rust_bindings_spark.sources import video as V
+    df = spark.createDataFrame(V.make_videos_pdf(0, 20))
+    feats = IMG.video_features(df).toPandas().set_index("video_id")
+    src = V.make_videos_pdf(0, 20).set_index("video_id")
+    assert (feats.n_frames == src.n_frames).all()
+    assert (feats.duration_ms == src.n_frames * 1000 // src.fps).all()
+    sampled = IMG.sample_video_frames(df, every_n=8).toPandas()
+    # every 8th frame incl. frame 0: ceil(n/8) per clip
+    per = sampled.groupby("video_id").size()
+    assert (per == (-(-src.n_frames // 8))).all()
+    # each sampled frame decodes back to the source frame, bit-exact
+    row = sampled[sampled.frame_no == 8].iloc[0]
+    cid = int(row.video_id[3:])
+    got = I.decode_image(row.bytes)
+    exp = V.gen_frames(cid, 9, int(src.loc[row.video_id].w),
+                       int(src.loc[row.video_id].h))[8]
+    assert (got == exp).all()
