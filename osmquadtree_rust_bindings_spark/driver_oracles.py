@@ -427,10 +427,10 @@ JOIN d nb ON nb.ia = p.ib AND nb.ib = p.ib
 WHERE p.ia < p.ib AND p.dot > 0
   AND p.dot * p.dot * 100 >= 9 * na.dot * nb.dot"""
 
-    # banded-LSH near-dup: replay the identical banding (bands=12, ppb=3,
-    # plane j = band*3 + r with the shared deterministic coefficients),
+    # banded-LSH near-dup: replay the identical banding (bands=4, ppb=6,
+    # plane j = band*6 + r with the shared deterministic coefficients),
     # candidates = any-band collision, verify = same integer predicate
-    ppb, nbands = 3, 12
+    ppb, nbands = 6, 4
     band_exprs = []
     for b_ in range(nbands):
         bits = [str(b_ * (1 << ppb))]
