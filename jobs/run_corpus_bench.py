@@ -1,0 +1,145 @@
+"""Corpus-scale soak for the training-data-pipeline operators.
+
+The contract tables cap at 5k documents / 2k embeddings — three orders
+below anything interesting.  This job generates a deterministic synthetic
+corpus IN SPARK (no driver materialization: sequence + codegen text
+assembly), then runs the dedup / text / ANN operators at a scale where
+their shuffle structure, not constant overhead, dominates:
+
+- documents: N docs, ~40 words each from a power-law vocabulary;
+  10% exact duplicates (same text, different id) and 5% near-duplicates
+  (one word substituted) are planted deterministically.
+- embeddings: M vectors, dim 64, deterministic integer pattern with
+  planted near-duplicate pairs.
+
+Prints one JSON line with wall times + output row counts, and appends
+nothing — BENCH/corpus.json is written by the caller redirect if wanted.
+
+Usage: python jobs/run_corpus_bench.py [--docs N] [--vecs M]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+DOCS_PATH = "/tmp/osmqt_corpus/documents"
+VECS_PATH = "/tmp/osmqt_corpus/embeddings"
+
+
+def gen_documents(spark, n: int):
+    """N docs of ~40 words, all codegen (sequence/transform/concat):
+    word w of doc i = 'w' || ((i * 31 + w * 17 + i % (w + 3)) % V) with a
+    power-law-ish vocab reuse; docs with i % 10 == 9 repeat doc i - 9's
+    text exactly (exact dups); i % 20 == 7 copies i - 7 with one word
+    changed (near dup)."""
+    from pyspark.sql import functions as F
+
+    base = spark.range(n).withColumn(
+        "src",
+        F.when(F.col("id") % 10 == 9, F.col("id") - 9)
+        .when(F.col("id") % 20 == 7, F.col("id") - 7)
+        .otherwise(F.col("id")))
+    words = F.transform(
+        F.sequence(F.lit(0), F.lit(39)),
+        lambda w: F.when(w == 0, F.lit("the")).when(w == 5, F.lit("and"))
+        .otherwise(F.concat(
+            F.lit("w"),
+            ((F.col("src") * 31 + w * 17 + F.col("src") % (w + 3))
+             % (100 + w * 50)).cast("string"))))
+    # near dup: replace word 20 with a doc-unique token
+    words = F.when(
+        F.col("id") % 20 == 7,
+        F.concat(F.slice(words, 1, 20),
+                 F.array(F.concat(F.lit("u"), F.col("id").cast("string"))),
+                 F.slice(words, 22, 19))).otherwise(words)
+    return base.select(F.col("id").alias("doc_id"),
+                       F.array_join(words, " ").alias("text"))
+
+
+def gen_embeddings(spark, m: int, dim: int = 64):
+    """M deterministic vectors; vec i with i % 7 == 6 is vec i-6 plus a
+    tiny perturbation (planted near-dup)."""
+    from pyspark.sql import functions as F
+
+    base = spark.range(m).withColumn(
+        "src", F.when(F.col("id") % 7 == 6, F.col("id") - 6)
+        .otherwise(F.col("id")))
+    # the cross term (src % 9973) * (d + 1) breaks the constant-per-dim
+    # shift that a purely additive pattern gives consecutive ids (which
+    # made every neighbor a spurious near-duplicate)
+    vec = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda d: ((((F.col("src") + 1) * 2654435761 + d * 40503
+                     + (F.col("src") % 9973) * (d + 1) * 12289)
+                    % 2003 - 1001)
+                   / 1000.0 + F.when((F.col("id") % 7 == 6) & (d == 0),
+                                     F.lit(0.003)).otherwise(F.lit(0.0)))
+        .cast("float"))
+    return base.select(F.col("id").alias("vec_id"), vec.alias("embedding"))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--docs", type=int, default=1_000_000)
+    ap.add_argument("--vecs", type=int, default=200_000)
+    args = ap.parse_args()
+
+    from pyspark.sql import functions as F
+
+    from osmquadtree_rust_bindings_spark.operators import dedup as DD
+    from osmquadtree_rust_bindings_spark.operators import similarity as SIM
+    from osmquadtree_rust_bindings_spark.operators import text as TX
+    from osmquadtree_rust_bindings_spark.session import get_spark
+
+    spark = get_spark()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    if not os.path.exists(DOCS_PATH + f"_{args.docs}"):
+        gen_documents(spark, args.docs).write.mode("overwrite") \
+            .parquet(DOCS_PATH + f"_{args.docs}")
+    if not os.path.exists(VECS_PATH + f"_{args.vecs}"):
+        gen_embeddings(spark, args.vecs).write.mode("overwrite") \
+            .parquet(VECS_PATH + f"_{args.vecs}")
+    docs = spark.read.parquet(DOCS_PATH + f"_{args.docs}")
+    vecs = spark.read.parquet(VECS_PATH + f"_{args.vecs}")
+
+    res: dict = {"docs": args.docs, "vecs": args.vecs,
+                 "cpus": spark.sparkContext.defaultParallelism}
+
+    def run(name, df):
+        t0 = time.time()
+        n = df.count()
+        res[name] = {"rows": n, "sec": round(time.time() - t0, 2)}
+
+    run("exact_dedup_groups",
+        DD.exact_dedup(docs).filter(F.col("dups") > 1))
+    run("minhash_lsh_pairs",
+        DD.minhash_lsh_pairs(docs, num_hashes=16, bands=4,
+                             verify_threshold=0.6))
+    run("simhash_pairs", DD.simhash_dup_pairs(docs, bits=32, max_hamming=2))
+    run("text_quality_kept",
+        TX.with_quality(docs).filter(F.col("is_quality")))
+    run("ann_ivf_topk",
+        SIM.ann_ivf_topk(
+            vecs, vecs.filter(F.col("vec_id") < 8).select(
+                F.col("vec_id").alias("qid"),
+                F.col("embedding").alias("qvec")),
+            dim=64, k=10, cells=64, nprobe=4))
+    run("cosine_near_dup_lsh",
+        SIM.cosine_near_dup_pairs_lsh(vecs, dim=64, threshold_num=9,
+                                      threshold_den=10,
+                                      planes_per_band=6, bands=4))
+    res["total_sec"] = round(sum(v["sec"] for v in res.values()
+                                 if isinstance(v, dict)), 2)
+    print("RESULT " + json.dumps(res))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
