@@ -122,7 +122,8 @@ def main() -> None:
     run("minhash_lsh_pairs",
         DD.minhash_lsh_pairs(docs, num_hashes=16, bands=4,
                              verify_threshold=0.6))
-    run("simhash_pairs", DD.simhash_dup_pairs(docs, bits=32, max_hamming=2))
+    run("simhash_pairs", DD.simhash_dup_pairs(docs, bits=32, max_hamming=2,
+                                          max_bucket=500))
     run("text_quality_kept",
         TX.with_quality(docs).filter(F.col("is_quality")))
     run("ann_ivf_topk",
@@ -134,7 +135,10 @@ def main() -> None:
     run("cosine_near_dup_lsh",
         SIM.cosine_near_dup_pairs_lsh(vecs, dim=64, threshold_num=9,
                                       threshold_den=10,
-                                      planes_per_band=6, bands=4))
+                                      # ppb sized to N: 2^12 buckets/band
+                                      # -> ~50 vecs/bucket at 200k
+                                      planes_per_band=12, bands=4,
+                                      max_bucket=500))
     res["total_sec"] = round(sum(v["sec"] for v in res.values()
                                  if isinstance(v, dict)), 2)
     print("RESULT " + json.dumps(res))

@@ -217,11 +217,19 @@ def simhash_signatures(df: DataFrame, bits: int = 16, text: str = "text",
 
 
 def simhash_dup_pairs(df: DataFrame, bits: int = 16, max_hamming: int = 2,
-                      text: str = "text", id_col: str = "doc_id") -> DataFrame:
+                      text: str = "text", id_col: str = "doc_id",
+                      max_bucket: int | None = None) -> DataFrame:
     """Near-dup pairs by SimHash: band the signature into (max_hamming+1)
     chunks (pigeonhole: any pair within hamming distance shares >= 1 exact
     chunk), join on chunk, verify hamming via bit_count.
-    Output: (id_a, id_b, hamming)."""
+    Output: (id_a, id_b, hamming).
+
+    ``max_bucket`` is the hot-chunk guard (same rationale as the ngram
+    hot-shingle cap and the LSH max_bucket): a chunk value shared by f
+    docs emits f^2 candidate rows; chunks over the cap are dropped before
+    the self-join, bounding candidates at O(N * max_bucket * chunks) at
+    the cost of the pigeonhole guarantee for pairs inside dropped chunks
+    (which carry ~no selectivity anyway)."""
     sig = simhash_signatures(df, bits, text, id_col).cache()
     chunks = max_hamming + 1
     step = bits // chunks
@@ -236,6 +244,11 @@ def simhash_dup_pairs(df: DataFrame, bits: int = 16, max_hamming: int = 2,
     # union over the cached signature table
     stacked = sig.select(F.col(id_col),
                          F.explode(F.array(*chunk_cols)).alias("chunk"))
+    if max_bucket is not None:
+        hot = (stacked.groupBy("chunk")
+               .agg(F.count(F.lit(1)).alias("n"))
+               .filter(F.col("n") > max_bucket).select("chunk"))
+        stacked = stacked.join(F.broadcast(hot), "chunk", "left_anti")
     a = stacked.select(F.col(id_col).alias("id_a"), "chunk")
     b = stacked.select(F.col(id_col).alias("id_b"), "chunk")
     cand = (a.join(b, "chunk").filter(F.col("id_a") < F.col("id_b"))

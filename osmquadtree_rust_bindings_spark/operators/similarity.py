@@ -274,7 +274,8 @@ def cosine_near_dup_pairs_lsh(embeddings: DataFrame, dim: int,
                               threshold_den: int = 10,
                               planes_per_band: int = 3, bands: int = 12,
                               id_col: str = "vec_id",
-                              vec_col: str = "embedding") -> DataFrame:
+                              vec_col: str = "embedding",
+                              max_bucket: int | None = None) -> DataFrame:
     """The 10^12-scale near-dup path: banded-LSH candidate generation +
     the exact integer cosine predicate applied to candidates only.
 
@@ -284,6 +285,17 @@ def cosine_near_dup_pairs_lsh(embeddings: DataFrame, dim: int,
     zip_with fold per candidate.  Fully deterministic (integer plane
     coefficients), so the DuckDB oracle replays the identical pipeline and
     the output is hash-exact by construction.
+
+    SIZE ``planes_per_band`` TO THE CORPUS: bucket count per band is
+    2^ppb, so candidates scale ~ N^2 / 2^ppb per band.  A fixed ppb means
+    constant collision PROBABILITY, i.e. quadratic candidate growth —
+    measured: 200k vectors at ppb=6 (64 buckets) emitted ~1.25B candidate
+    rows and filled the shuffle disk.  Pick ppb ≈ log2(N / wanted_bucket)
+    (e.g. N=200k, 50/bucket -> ppb=12) and/or set ``max_bucket``: band
+    keys holding more than that many vectors are dropped before the
+    self-join (the analogue of ngram dedup's hot-shingle cap) — a
+    too-dense bucket carries ~zero selectivity anyway, and the cap makes
+    worst-case candidates O(N * max_bucket * bands) by construction.
 
     Recall is the LSH collision curve: per-plane P(agree) = 1 - theta/pi.
     At production near-dup thresholds (cos >= 0.8) a (ppb=6, bands=4)
@@ -298,6 +310,11 @@ def cosine_near_dup_pairs_lsh(embeddings: DataFrame, dim: int,
         F.col(id_col).alias("id"), _quantized(F.col(vec_col)).alias("v"),
         F.col("bkeys")).cache()
     flat = keyed.select("id", F.explode("bkeys").alias("bkey"))
+    if max_bucket is not None:
+        hot = (flat.groupBy("bkey")
+               .agg(F.count(F.lit(1)).alias("n"))
+               .filter(F.col("n") > max_bucket).select("bkey"))
+        flat = flat.join(F.broadcast(hot), "bkey", "left_anti")
     a = flat.select(F.col("id").alias("id_a"), "bkey")
     b = flat.select(F.col("id").alias("id_b"), "bkey")
     cand = (a.join(b, "bkey").filter(F.col("id_a") < F.col("id_b"))
