@@ -62,3 +62,19 @@ def test_no_cap_is_default_identity(skewed_docs):
     b = DD.ngram_jaccard_pairs(skewed_docs, threshold=0.5,
                                max_df=10 ** 9)
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_simhash_max_bucket_cap(spark):
+    # one 40-doc identical-text clique + a planted near-dup pair: the cap
+    # drops the clique's chunk buckets, keeps the small-bucket pair
+    rows = [(i, "same text repeated here for everyone") for i in range(40)]
+    rows += [(100, "a quite different document body entirely"),
+             (101, "a quite different document body entirely")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    uncapped = DD.simhash_dup_pairs(docs, bits=32, max_hamming=2)
+    capped = DD.simhash_dup_pairs(docs, bits=32, max_hamming=2,
+                                  max_bucket=10)
+    assert uncapped.count() >= 40 * 39 // 2
+    got = {(r.id_a, r.id_b) for r in capped.collect()}
+    assert (100, 101) in got
+    assert len(got) < 40

@@ -143,3 +143,31 @@ def test_multiprobe_recall_monotone(emb, queries):
     r1, r3, r5 = recall(1), recall(3), recall(5)
     assert r1 <= r3 <= r5
     assert r5 > r1  # extra probes actually add candidates on this corpus
+
+
+def test_lsh_near_dup_max_bucket_cap(spark):
+    import numpy as np
+    import pandas as pd
+    from osmquadtree_rust_bindings_spark.operators import similarity as SIM
+
+    # 60 identical vectors (one mega-bucket) + 2 planted near-dups with
+    # distinct directions: the cap drops the hot bucket's pairs but keeps
+    # the planted pair that lands in a small bucket
+    rng = np.random.default_rng(5)
+    base = rng.integers(-900, 900, 64) / 1000.0
+    other = rng.integers(-900, 900, 64) / 1000.0
+    rows = [(i, list(base.astype("float32"))) for i in range(60)]
+    rows += [(100, list(other.astype("float32"))),
+             (101, list((other * 0.999).astype("float32")))]
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["vec_id", "embedding"]))
+    uncapped = SIM.cosine_near_dup_pairs_lsh(
+        df, dim=64, threshold_num=9, threshold_den=10,
+        planes_per_band=6, bands=4)
+    capped = SIM.cosine_near_dup_pairs_lsh(
+        df, dim=64, threshold_num=9, threshold_den=10,
+        planes_per_band=6, bands=4, max_bucket=10)
+    assert uncapped.count() >= 60 * 59 // 2      # hot clique present
+    got = {(r.id_a, r.id_b) for r in capped.collect()}
+    assert (100, 101) in got                     # small-bucket pair kept
+    assert len(got) < 60                         # clique pairs dropped
