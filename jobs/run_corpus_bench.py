@@ -120,8 +120,8 @@ def main() -> None:
     run("exact_dedup_groups",
         DD.exact_dedup(docs).filter(F.col("dups") > 1))
     run("minhash_lsh_pairs",
-        DD.minhash_lsh_pairs(docs, num_hashes=16, bands=4,
-                             verify_threshold=0.6))
+        DD.minhash_lsh_pairs(docs, num_hashes=32, bands=4,
+                             verify_threshold=0.6, max_bucket=200))
     run("simhash_pairs", DD.simhash_dup_pairs(docs, bits=32, max_hamming=2,
                                           max_bucket=500))
     run("text_quality_kept",
