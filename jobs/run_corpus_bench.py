@@ -100,10 +100,10 @@ def main() -> None:
     spark = get_spark()
     spark.sparkContext.setLogLevel("ERROR")
 
-    if not os.path.exists(DOCS_PATH + f"_{args.docs}"):
+    if not os.path.exists(DOCS_PATH + f"_{args.docs}/_SUCCESS"):
         gen_documents(spark, args.docs).write.mode("overwrite") \
             .parquet(DOCS_PATH + f"_{args.docs}")
-    if not os.path.exists(VECS_PATH + f"_{args.vecs}"):
+    if not os.path.exists(VECS_PATH + f"_{args.vecs}/_SUCCESS"):
         gen_embeddings(spark, args.vecs).write.mode("overwrite") \
             .parquet(VECS_PATH + f"_{args.vecs}")
     docs = spark.read.parquet(DOCS_PATH + f"_{args.docs}")

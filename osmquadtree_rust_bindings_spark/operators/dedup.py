@@ -26,6 +26,20 @@ WORD_HASH = "cast(conv(substring(md5({col}),1,15),16,10) as bigint)"
 MERSENNE_P = (1 << 61) - 1
 
 
+def drop_hot_keys(df: DataFrame, key: str, cap: int) -> DataFrame:
+    """The shared hot-key guard for every candidate generator (ngram
+    shingles, MinHash/banded-LSH buckets, SimHash chunks): drop rows whose
+    ``key`` value occurs more than ``cap`` times, BEFORE a self-join on
+    that key.  A key with frequency f otherwise emits f^2 join rows —
+    quadratic growth concentrated on single keys that AQE skew-split
+    cannot fix (it rebalances partitions, not row counts).  The hot set is
+    at most total_rows / cap distinct values, so it broadcasts; the
+    anti-join bounds worst-case candidates at O(N x cap) per table."""
+    hot = (df.groupBy(key).agg(F.count(F.lit(1)).alias("__n"))
+           .filter(F.col("__n") > cap).select(key))
+    return df.join(F.broadcast(hot), key, "left_anti")
+
+
 def exact_dedup(df: DataFrame, text: str = "text",
                 id_col: str = "doc_id") -> DataFrame:
     """Exact dedup on content hash: one group per md5(text), keeper = min id.
@@ -83,10 +97,7 @@ def ngram_jaccard_pairs(df: DataFrame, threshold: float = 0.4,
     """
     sh = shingles(df, text, id_col, n)
     if max_df is not None:
-        hot = (sh.groupBy("shingle")
-               .agg(F.count(F.lit(1)).alias("df"))
-               .filter(F.col("df") > max_df).select("shingle"))
-        sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
+        sh = drop_hot_keys(sh, "shingle", max_df)
     sh = sh.cache()
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("nsh"))
     a = sh.select(F.col(id_col).alias("id_a"), "shingle")
@@ -173,10 +184,7 @@ def minhash_lsh_pairs(df: DataFrame, num_hashes: int = 16, bands: int = 4,
         F.col(id_col), F.explode(F.array(*bucket_cols)).alias("bucket")
     ).cache()  # both sides of the self-join read this one pass
     if max_bucket is not None:
-        hot = (stacked.groupBy("bucket")
-               .agg(F.count(F.lit(1)).alias("n"))
-               .filter(F.col("n") > max_bucket).select("bucket"))
-        stacked = stacked.join(F.broadcast(hot), "bucket", "left_anti")
+        stacked = drop_hot_keys(stacked, "bucket", max_bucket)
     a = stacked.select(F.col(id_col).alias("id_a"), "bucket")
     bb = stacked.select(F.col(id_col).alias("id_b"), "bucket")
     cand = (
@@ -257,10 +265,7 @@ def simhash_dup_pairs(df: DataFrame, bits: int = 16, max_hamming: int = 2,
     stacked = sig.select(F.col(id_col),
                          F.explode(F.array(*chunk_cols)).alias("chunk"))
     if max_bucket is not None:
-        hot = (stacked.groupBy("chunk")
-               .agg(F.count(F.lit(1)).alias("n"))
-               .filter(F.col("n") > max_bucket).select("chunk"))
-        stacked = stacked.join(F.broadcast(hot), "chunk", "left_anti")
+        stacked = drop_hot_keys(stacked, "chunk", max_bucket)
     a = stacked.select(F.col(id_col).alias("id_a"), "chunk")
     b = stacked.select(F.col(id_col).alias("id_b"), "chunk")
     cand = (a.join(b, "chunk").filter(F.col("id_a") < F.col("id_b"))

@@ -27,6 +27,17 @@ def _quantized(col):
         e.cast("double") * QUANT).cast("long"))
 
 
+def _quantized_checked(col, dim: int):
+    """_quantized with a fail-fast width check: a vector whose size
+    differs from the declared ``dim`` raises at execution instead of
+    silently null-padding through zip_with (which would send every
+    mismatched vector to bucket/cell 0)."""
+    return F.when(F.size(col) == dim, _quantized(col)).otherwise(
+        F.raise_error(F.concat(
+            F.lit(f"embedding dim mismatch: expected {dim}, got "),
+            F.size(col).cast("string"))))
+
+
 def _dot_int(a, b):
     return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
                        F.lit(0).cast("long"), lambda acc, v: acc + v)
@@ -255,8 +266,7 @@ def with_lsh_band_keys(df: DataFrame, dim: int, planes_per_band: int = 3,
     deterministic integer coefficients of :func:`with_lsh_bucket`).  Key =
     band * 2^ppb + bits, so keys from different bands never collide.  Pure
     Column algebra, replayable verbatim in SQL."""
-    v = _quantized(F.col(vec_col))
-    df = df.withColumn("__vq", v)
+    df = df.withColumn("__vq", _quantized_checked(F.col(vec_col), dim))
     keys = []
     for b in range(bands):
         bits = F.lit(b * (1 << planes_per_band))
@@ -311,10 +321,11 @@ def cosine_near_dup_pairs_lsh(embeddings: DataFrame, dim: int,
         F.col("bkeys")).cache()
     flat = keyed.select("id", F.explode("bkeys").alias("bkey"))
     if max_bucket is not None:
-        hot = (flat.groupBy("bkey")
-               .agg(F.count(F.lit(1)).alias("n"))
-               .filter(F.col("n") > max_bucket).select("bkey"))
-        flat = flat.join(F.broadcast(hot), "bkey", "left_anti")
+        from osmquadtree_rust_bindings_spark.operators.dedup import (
+            drop_hot_keys,
+        )
+
+        flat = drop_hot_keys(flat, "bkey", max_bucket)
     a = flat.select(F.col("id").alias("id_a"), "bkey")
     b = flat.select(F.col("id").alias("id_b"), "bkey")
     cand = (a.join(b, "bkey").filter(F.col("id_a") < F.col("id_b"))
@@ -358,7 +369,7 @@ def with_ivf_cell(df: DataFrame, dim: int, cells: int = 8,
     no shuffle, no Python, and at 10^12 rows it runs in the same scan that
     reads the vectors.  Writing/partitioning by ``cell`` afterwards gives
     the inverted-file layout that makes probes a pruned equi-join."""
-    df = df.withColumn("__vq", _quantized(F.col(vec_col)))
+    df = df.withColumn("__vq", _quantized_checked(F.col(vec_col), dim))
     dists = []
     for c, cent in enumerate(centroids(cells, dim)):
         lit = F.array(*[F.lit(x) for x in cent])
@@ -428,8 +439,7 @@ def with_lsh_bucket(df: DataFrame, dim: int, planes: int = 8,
     Integer dot products -> exact, portable bucket ids.  With
     ``_keep_dots`` the per-plane dots stay as array column ``__pd``
     (multi-probe uses |dot| as the flip margin)."""
-    v = _quantized(F.col(vec_col))
-    df = df.withColumn("__vq", v)
+    df = df.withColumn("__vq", _quantized_checked(F.col(vec_col), dim))
     dots = []
     bucket = F.lit(0)
     for j in range(planes):

@@ -65,9 +65,15 @@ class TilingPipeline:
 
         plan_df = lin.run_stage(spark, "tileplan", plan)
         plan_pdf = plan_df.toPandas().astype(
-            {"tile": np.int64, "weight": np.int64, "plan_depth": np.int64})
+            {"tile": np.int64, "weight": np.int64})
         groups_pdf = plan_pdf[["tile", "weight"]]
-        plan_depth = int(plan_pdf["plan_depth"].iloc[0])
+        if "plan_depth" in plan_pdf.columns and len(plan_pdf):
+            plan_depth = int(plan_pdf["plan_depth"].astype(np.int64).iloc[0])
+        else:
+            # resumed plan written by an older version (no persisted
+            # depth), or an empty corpus: re-derive deterministically
+            plan_depth = min(self.group_depth,
+                             T.choose_plan_depth(calc, "qt"))
 
         def assign() -> DataFrame:
             if not self.use_broadcast:

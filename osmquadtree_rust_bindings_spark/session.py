@@ -100,10 +100,10 @@ def get_spark(master: str | None = None, app_name: str = "osmquadtree-spark",
         # cluster pass shuffle_partitions ~ 2-3 x total executor cores
         # and let AQE coalesce down / skew-split up from there.
         try:
-            cores = int(master.split("[")[1].rstrip("]").replace("*", "0")) \
-                or os.cpu_count()
+            cores = int(master.split("[")[1].rstrip("]").replace("*", "0"))
         except (IndexError, ValueError):
-            cores = os.cpu_count() or 8
+            cores = 0
+        cores = cores or os.cpu_count() or 8
         shuffle_partitions = max(16, 2 * cores)
     b = b.config("spark.sql.shuffle.partitions", str(shuffle_partitions))
     for k, v in (extra_conf or {}).items():

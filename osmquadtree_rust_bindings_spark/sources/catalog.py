@@ -120,7 +120,10 @@ class Catalog:
                     out[k] = (h[k] if out[k] is None
                               else max(out[k], h[k]))
             is_change = s["mode"] == "append" and s["id"] > snaps[0]["id"]
-            for root, _, files in os.walk(s["path"]):
+            # sort dirs in place so the walk (hence the index order) is
+            # deterministic for partitioned layouts
+            for root, dirs, files in os.walk(s["path"]):
+                dirs.sort()
                 for f in sorted(files):
                     if not f.endswith(".parquet"):
                         continue

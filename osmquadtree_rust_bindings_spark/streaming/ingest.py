@@ -88,9 +88,13 @@ def stream_first_seen(stream_df: DataFrame, key_col: str = "image_id",
                       bloom_bits: int = 1 << 20,
                       bloom_hashes: int = 7) -> DataFrame:
     """Cross-micro-batch first-seen dedup, stateful per tile group
-    (applyInPandasWithState).  Emits each (group, key) the first time it is
-    ever seen across the life of the stream; re-deliveries in later batches
-    are suppressed by the per-group state.
+    (applyInPandasWithState).  Emits each (group, key) the first time it
+    is seen WITHIN THE STATE HORIZON: re-deliveries are suppressed while
+    the group's state lives.  The default 1h timeout bounds state, so a
+    key re-delivered to a group idle for longer than the timeout is
+    emitted again — pass ``timeout_ms=None`` for the lossless
+    emit-once-ever contract (state then grows with the key universe; only
+    safe for short-lived drains).
 
     State is BOUNDED two ways:
     - a processing-time timeout (default 1h) ages out idle groups — a
@@ -116,7 +120,10 @@ def stream_first_seen(stream_df: DataFrame, key_col: str = "image_id",
     if state_mode not in ("exact", "bloom"):
         raise ValueError(f"state_mode must be exact|bloom, got {state_mode}")
     m, k = int(bloom_bits), int(bloom_hashes)
-    assert m % 8 == 0 and m & (m - 1) == 0, "bloom_bits must be 2^n"
+    if m < 8 or m % 8 != 0 or m & (m - 1) != 0:
+        raise ValueError(f"bloom_bits must be a power of two >= 8, got {m}")
+    if k < 1:
+        raise ValueError(f"bloom_hashes must be >= 1, got {k}")
 
     def _emit(key, ids):
         return pd.DataFrame({group_col: key[0], key_col: ids})

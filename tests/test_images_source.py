@@ -68,10 +68,10 @@ def test_resize(spark):
         assert I.decode_image(b).shape == (8, 8, 3)
 
 
-def test_video_stub_raises(spark):
-    df = I.generate_images(spark, 2, num_partitions=1)
-    with pytest.raises(Exception):
-        OPI.sample_video_frames(df).collect()
+def test_video_decode_rejects_foreign_payload():
+    from osmquadtree_rust_bindings_spark.sources import video as V
+    with pytest.raises(ValueError, match="unknown video magic"):
+        V.decode_video(b"NOPE" + b"\x00" * 16)
 
 
 def test_skewed_lonlat_hotspots():
