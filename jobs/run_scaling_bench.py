@@ -171,6 +171,27 @@ def main() -> None:
         "scaling_efficiency": round(eff, 3),
         "deterministic": same,
     }
+    # preserve supplementary sections recorded by other runs (the 4/16
+    # level pair, corpus soak) across rewrites
+    extra_md = ""
+    try:
+        with open("BENCH/scaling.json") as f:
+            prev = json.load(f)
+        for k, v in prev.items():
+            if k.startswith("supplementary"):
+                payload[k] = v
+    except (FileNotFoundError, json.JSONDecodeError):
+        pass
+    try:
+        with open("BENCH/BASELINE.md") as f:
+            old = f.read()
+        idx = old.find("\n## Supplementary")
+        if idx < 0:
+            idx = old.find("\n## Corpus-pipeline soak")
+        if idx >= 0:
+            extra_md = old[idx:]
+    except FileNotFoundError:
+        pass
     with open("BENCH/scaling.json", "w") as f:
         json.dump(payload, f, indent=2)
 
@@ -212,7 +233,7 @@ reference's -qts.pbf) -> cell histogram (groupBy) + driver bin-packing ->
 broadcast tile-assignment join on compacted cell keys + salted checksum ->
 bbox cover+refine join -> PIP cover join + vectorized ray-crossing refine
 (Arrow mapInPandas).
-""")
+""" + extra_md)
     print(json.dumps(payload))
 
 
