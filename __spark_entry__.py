@@ -103,6 +103,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": DQ.q_text_fingerprint,
         "ann_l2_topk": DQ.q_ann_l2_topk,
         "ann_ivf_topk": DQ.q_ann_ivf_topk,
+        "ann_ivf_prebuilt": DQ.q_ann_ivf_prebuilt,
         "ann_lsh_bucket_hist": DQ.q_ann_lsh_bucket_hist,
         "ann_lsh_multiprobe": DQ.q_ann_lsh_multiprobe,
         "ann_cosine_topk": DQ.q_ann_cosine_topk,

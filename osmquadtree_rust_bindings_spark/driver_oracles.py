@@ -799,4 +799,6 @@ FROM (SELECT qid, vec_id, dist2,
       FROM scored)
 WHERE rank <= 10"""
 
+    # the prebuilt-index variant returns the identical result set
+    o["ann_ivf_prebuilt"] = o["ann_ivf_topk"]
     return o

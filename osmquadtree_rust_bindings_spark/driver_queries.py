@@ -750,6 +750,26 @@ def q_s11c_video_features(spark, sf_dir):
     return feats.crossJoin(sampled)
 
 
+def q_ann_ivf_prebuilt(spark, sf_dir):
+    # IVF over a prebuilt cell-partitioned index (temp dir): identical
+    # output to ann_ivf_topk, but the scan reads only the probed
+    # partitions via dynamic partition pruning — the ingest-once /
+    # query-many production shape.  Oracle = the ann_ivf_topk replay.
+    import tempfile
+
+    emb = _read(spark, sf_dir, "embeddings")
+    idx = tempfile.mkdtemp(prefix="ivf_")
+    SIM.ivf_write_index(emb, idx, dim=64, cells=8)
+    queries = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec"))
+    out = SIM.ann_ivf_prebuilt(spark, idx, queries, dim=64, k=10,
+                               cells=8, nprobe=2)
+    return out.select(F.col("qid").cast("long").alias("qid"),
+                      F.col("rank").cast("long").alias("rank"),
+                      F.col("vec_id").cast("long").alias("vec_id"),
+                      F.col("dist2").cast("long").alias("dist2"))
+
+
 def q_dedup_exact(spark, sf_dir):
     docs = _read(spark, sf_dir, "documents")
     out = DD.exact_dedup(docs)

@@ -426,6 +426,56 @@ def ann_ivf_topk(embeddings: DataFrame, queries: DataFrame, dim: int,
     )
 
 
+def ivf_write_index(embeddings: DataFrame, path: str, dim: int,
+                    cells: int = 8, id_col: str = "vec_id",
+                    vec_col: str = "embedding") -> None:
+    """Build the inverted-file layout once: assign cells (pure projection,
+    same scan that reads the vectors) and write parquet PARTITIONED BY
+    cell.  At corpus scale this is the ingest-time step that turns every
+    subsequent ANN query into a pruned scan."""
+    (with_ivf_cell(embeddings, dim, cells, vec_col)
+     .select(id_col, vec_col, "cell")
+     .write.mode("overwrite").partitionBy("cell").parquet(path))
+
+
+def ann_ivf_prebuilt(spark, index_path: str, queries: DataFrame, dim: int,
+                     k: int = 10, cells: int = 8, nprobe: int = 2,
+                     id_col: str = "vec_id", vec_col: str = "embedding",
+                     qid_col: str = "qid",
+                     qvec_col: str = "qvec") -> DataFrame:
+    """IVF ANN over a prebuilt cell-partitioned index: identical results
+    to :func:`ann_ivf_topk`, but the scan only reads the probed
+    partitions.  The pruning is DECLARATIVE — the broadcast equi-join on
+    the partition column triggers Spark's dynamic partition pruning
+    (``PartitionFilters: [dynamicpruning#...]`` in ``.explain``), so no
+    driver-side probe collection is needed and the physical read is
+    nprobe/cells of the index no matter the corpus size."""
+    e = spark.read.parquet(index_path).select(
+        F.col(id_col), _quantized(F.col(vec_col)).alias("__v"),
+        F.col("cell").cast("int").alias("cell"))
+    q = with_ivf_cell(queries, dim, cells, qvec_col, _keep_dists=True)
+    keys = F.transform(
+        F.col("__ds"),
+        lambda d, i: d * cells + i.cast("long"))
+    probes = F.transform(F.slice(F.sort_array(keys), 1, nprobe),
+                         lambda x: (x % cells).cast("int"))
+    q = q.select(F.col(qid_col), _quantized(F.col(qvec_col)).alias("__q"),
+                 F.explode(probes).alias("cell"))
+    cand = e.join(F.broadcast(q), "cell").withColumn(
+        "dist2",
+        F.aggregate(F.zip_with(F.col("__v"), F.col("__q"),
+                               lambda x, y: (x - y) * (x - y)),
+                    F.lit(0).cast("long"), lambda acc, v: acc + v),
+    )
+    w = Window.partitionBy(qid_col).orderBy(
+        F.col("dist2").asc(), F.col(id_col).asc())
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(qid_col, "rank", id_col, "dist2")
+    )
+
+
 def _plane_coeff(j: int, d: int) -> int:
     """Deterministic integer hyperplane coefficients in [-3, 3]."""
     return ((j * 31 + d * 17 + (j * d) % 11) % 7) - 3

@@ -171,3 +171,28 @@ def test_lsh_near_dup_max_bucket_cap(spark):
     got = {(r.id_a, r.id_b) for r in capped.collect()}
     assert (100, 101) in got                     # small-bucket pair kept
     assert len(got) < 60                         # clique pairs dropped
+
+
+def test_ivf_prebuilt_matches_and_prunes(spark, tmp_path):
+    import io
+    import contextlib
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from osmquadtree_rust_bindings_spark.operators import similarity as SIM
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    idx = str(tmp_path / "ivf_idx")
+    SIM.ivf_write_index(emb, idx, dim=64, cells=8)
+    q = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec"))
+    live = SIM.ann_ivf_topk(emb, q, dim=64, k=5, cells=8, nprobe=2)
+    pre = SIM.ann_ivf_prebuilt(spark, idx, q, dim=64, k=5, cells=8,
+                               nprobe=2)
+    a = live.toPandas().sort_values(["qid", "rank"]).reset_index(drop=True)
+    b = pre.toPandas().sort_values(["qid", "rank"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+    # the probed-partition scan must be dynamically pruned
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        pre.explain()
+    assert "dynamicpruning" in buf.getvalue()
