@@ -42,6 +42,43 @@ def min_sec_str(t) -> str:
     return "%4dm%4.1fs" % (mins, t - mins * 60)
 
 
+class LogTimes:
+    """Reference-exact stage-timing log (__init__.py:110-125): call with a
+    message to record the elapsed interval since the previous call;
+    str() renders aligned ``message: min_sec_str`` lines plus TOTAL."""
+
+    def __init__(self, msgs=None):
+        import time
+
+        self.last_time = time.time()
+        self.messages = list(msgs) if msgs else []
+
+    def __call__(self, message: str) -> None:
+        import time
+
+        next_time = time.time()
+        self.messages.append((message, next_time - self.last_time))
+        self.last_time = next_time
+
+    def __str__(self) -> str:
+        if not self.messages:
+            return "LogTimes empty"
+        max_len = max(len(a) for a, b in self.messages)
+        total = sum(b for a, b in self.messages)
+        return "\n".join(
+            "%s:%s%s" % (a, " " * (max_len - len(a)), min_sec_str(b))
+            for a, b in self.messages + [("TOTAL", total)])
+
+
+def time_op(op, *args, **kwargs):
+    """Reference time_op (__init__.py:136-139): -> (seconds, result)."""
+    import time
+
+    st = time.time()
+    res = op(*args, **kwargs)
+    return time.time() - st, res
+
+
 def _decode(col: Column, table: dict[str, str],
             full_values: list[str]) -> Column:
     # reference *_from_str semantics (src/elements.rs:558-574): input is

@@ -40,6 +40,24 @@ def count_fingerprint(df: DataFrame, group: list[str] | None = None,
     return df.agg(*aggs)
 
 
+def run_count(source, spark=None, filter_in=None, id_col: str = "image_id",
+              lon: str = "lon", lat: str = "lat") -> DataFrame:
+    """Reference ``run_count`` convenience (__init__.py:97-98): one-call
+    Count over a table.  ``source`` is a DataFrame or a parquet path
+    (pass ``spark`` for paths); ``filter_in`` is an optional Column
+    predicate (the reference's bbox/poly filter seam, F2/F3).  Returns
+    the Count fingerprint DataFrame (print it to match the reference's
+    stdout behavior)."""
+    df = source
+    if isinstance(source, str):
+        if spark is None:
+            raise ValueError("pass spark= when source is a path")
+        df = spark.read.parquet(source)
+    if filter_in is not None:
+        df = df.filter(filter_in)
+    return count_fingerprint(df, id_col=id_col, lon=lon, lat=lat)
+
+
 def count_refs_stats(df: DataFrame, refs: str = "refs") -> DataFrame:
     """Way-style ref-array stats (A2, src/count.rs:125-161): total refs,
     longest array, global min/max ref."""

@@ -354,6 +354,36 @@ def assign_tiles_broadcast(df: DataFrame, cells: pd.DataFrame,
     return joined.drop("__cell_pd")
 
 
+def iter_tree(tree: "QuadtreeTree"):
+    """Reference ``iter_tree`` (__init__.py:83-94): yields
+    (qt, own_weight, total) in pre-order."""
+    yield from tree.items()
+
+
+def run_sortblocks(df: DataFrame, out_path: str, qt_col: str = "qt",
+                   target: int = GROUP_TARGET, min_target: int | None = None,
+                   max_qt_level: int = 17,
+                   salt_over: int | None = None) -> pd.DataFrame:
+    """Reference ``run_sortblocks`` convenience (__init__.py:142-180):
+    plan tile groups from the qt column, assign every row its group tile,
+    and write the tiled parquet store in one call.  The reference's
+    temp-file staging knobs (splitat/limit/in_mem) are owned by Spark's
+    shuffle; stage timings print as a LogTimes, like the reference.
+    Returns the (tile, weight) plan."""
+    from osmquadtree_rust_bindings_spark.functions.format import LogTimes
+
+    lt = LogTimes()
+    depth = min(max_qt_level, choose_plan_depth(df, qt_col))
+    cells = prepare_quadtree_tree(df, qt_col, depth)
+    lt("prepare quadtree tree")
+    groups = find_tree_groups(cells, target=target, min_target=min_target)
+    lt("find tree groups")
+    write_tiled(df, out_path, groups, qt_col=qt_col, salt_over=salt_over)
+    lt("sort blocks")
+    print(lt)
+    return groups
+
+
 def write_tiled(df: DataFrame, path: str, groups: pd.DataFrame,
                 qt_col: str = "qt", order_cols: tuple[str, ...] = ("qt",),
                 salt_over: int | None = None) -> DataFrame:

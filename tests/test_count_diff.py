@@ -146,3 +146,42 @@ def test_compare_datasets_json(spark):
     assert set(got.diff_class) == {"only_left", "only_right", "different_v"}
     assert by["only_left"] == '{"id":1,"diff_class":"only_left"}'
     assert by["different_v"] == '{"id":3,"diff_class":"different_v"}'
+
+
+def test_run_count_convenience(spark):
+    from osmquadtree_rust_bindings_spark.operators import count as CNT
+    from osmquadtree_rust_bindings_spark.sources import images as I
+    from pyspark.sql import functions as F
+    df = spark.createDataFrame(
+        I.make_images_pdf(0, 300, with_bytes=False))
+    from osmquadtree_rust_bindings_spark.operators import calcqts as CQ
+    keyed = CQ.run_calcqts(df)
+    out = CNT.run_count(keyed).collect()[0]
+    assert out.num == 300
+    filt = CNT.run_count(keyed, filter_in=F.col("lon") > 0).collect()[0]
+    assert 0 < filt.num < 300
+
+
+def test_run_sortblocks_convenience(spark, tmp_path):
+    from osmquadtree_rust_bindings_spark.operators import calcqts as CQ
+    from osmquadtree_rust_bindings_spark.operators import tiling as T
+    from osmquadtree_rust_bindings_spark.sources import images as I
+    df = CQ.run_calcqts(spark.createDataFrame(
+        I.make_images_pdf(0, 2000, with_bytes=False)))
+    out = str(tmp_path / "tiled")
+    groups = T.run_sortblocks(df, out, target=400)
+    assert groups.weight.sum() == 2000
+    back = spark.read.parquet(out)
+    assert back.count() == 2000
+    assert "tile" in back.columns
+
+
+def test_logtimes_and_time_op():
+    from osmquadtree_rust_bindings_spark.functions.format import (
+        LogTimes, time_op)
+    lt = LogTimes()
+    lt("stage one")
+    s = str(lt)
+    assert "stage one" in s and "TOTAL" in s
+    sec, res = time_op(lambda x: x + 1, 41)
+    assert res == 42 and sec >= 0
