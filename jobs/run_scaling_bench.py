@@ -180,8 +180,11 @@ def main() -> None:
         for k, v in prev.items():
             if k.startswith("supplementary"):
                 payload[k] = v
-    except (FileNotFoundError, json.JSONDecodeError):
+    except FileNotFoundError:
         pass
+    except json.JSONDecodeError:
+        sys.stderr.write("WARNING: BENCH/scaling.json unparsable; "
+                         "supplementary records will be lost\n")
     try:
         with open("BENCH/BASELINE.md") as f:
             old = f.read()

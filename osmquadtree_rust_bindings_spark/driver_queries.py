@@ -755,10 +755,14 @@ def q_ann_ivf_prebuilt(spark, sf_dir):
     # output to ann_ivf_topk, but the scan reads only the probed
     # partitions via dynamic partition pruning — the ingest-once /
     # query-many production shape.  Oracle = the ann_ivf_topk replay.
+    import hashlib
     import tempfile
 
     emb = _read(spark, sf_dir, "embeddings")
-    idx = tempfile.mkdtemp(prefix="ivf_")
+    # deterministic per-sf path: repeat invocations overwrite in place
+    # instead of accumulating full embedding copies in /tmp
+    idx = (tempfile.gettempdir() + "/ivf_gate_"
+           + hashlib.md5(sf_dir.encode()).hexdigest()[:10])
     SIM.ivf_write_index(emb, idx, dim=64, cells=8)
     queries = emb.filter(F.col("vec_id") < 4).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec"))

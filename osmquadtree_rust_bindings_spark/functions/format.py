@@ -63,11 +63,12 @@ class LogTimes:
     def __str__(self) -> str:
         if not self.messages:
             return "LogTimes empty"
-        max_len = max(len(a) for a, b in self.messages)
         total = sum(b for a, b in self.messages)
+        rows = self.messages + [("TOTAL", total)]
+        max_len = max(len(a) for a, b in rows)
         return "\n".join(
             "%s:%s%s" % (a, " " * (max_len - len(a)), min_sec_str(b))
-            for a, b in self.messages + [("TOTAL", total)])
+            for a, b in rows)
 
 
 def time_op(op, *args, **kwargs):

@@ -40,7 +40,8 @@ def count_fingerprint(df: DataFrame, group: list[str] | None = None,
     return df.agg(*aggs)
 
 
-def run_count(source, spark=None, filter_in=None, id_col: str = "image_id",
+def run_count(source, *, spark=None, filter_in=None,
+              id_col: str = "image_id",
               lon: str = "lon", lat: str = "lat") -> DataFrame:
     """Reference ``run_count`` convenience (__init__.py:97-98): one-call
     Count over a table.  ``source`` is a DataFrame or a parquet path

@@ -403,6 +403,18 @@ def ann_ivf_topk(embeddings: DataFrame, queries: DataFrame, dim: int,
     Output: (qid, rank, vec_id, dist2)."""
     e = with_ivf_cell(embeddings, dim, cells, vec_col).select(
         F.col(id_col), _quantized(F.col(vec_col)).alias("__v"), "cell")
+    return _ivf_probe_topk(e, queries, dim, k, cells, nprobe,
+                           id_col, qid_col, qvec_col)
+
+
+def _ivf_probe_topk(e: DataFrame, queries: DataFrame, dim: int, k: int,
+                    cells: int, nprobe: int, id_col: str, qid_col: str,
+                    qvec_col: str) -> DataFrame:
+    """Shared IVF probe/score/rank core: ``e`` is the candidate frame
+    (id, __v quantized, cell); queries explode into their nprobe closest
+    cells (probe order = dist2*cells + cell, integer-exact tie-break),
+    candidates come from the broadcast equi-join on cell, exact integer
+    L2 re-rank with (dist2, id) window ordering."""
     q = with_ivf_cell(queries, dim, cells, qvec_col, _keep_dists=True)
     keys = F.transform(
         F.col("__ds"),
@@ -431,11 +443,18 @@ def ivf_write_index(embeddings: DataFrame, path: str, dim: int,
                     vec_col: str = "embedding") -> None:
     """Build the inverted-file layout once: assign cells (pure projection,
     same scan that reads the vectors) and write parquet PARTITIONED BY
-    cell.  At corpus scale this is the ingest-time step that turns every
-    subsequent ANN query into a pruned scan."""
+    cell, plus a _manifest.json recording (dim, cells) so queries can
+    fail fast on mismatched parameters.  At corpus scale this is the
+    ingest-time step that turns every subsequent ANN query into a pruned
+    scan."""
+    import json
+    import os
+
     (with_ivf_cell(embeddings, dim, cells, vec_col)
      .select(id_col, vec_col, "cell")
      .write.mode("overwrite").partitionBy("cell").parquet(path))
+    with open(os.path.join(path, "_manifest.json"), "w") as f:
+        json.dump({"dim": dim, "cells": cells}, f)
 
 
 def ann_ivf_prebuilt(spark, index_path: str, queries: DataFrame, dim: int,
@@ -450,30 +469,23 @@ def ann_ivf_prebuilt(spark, index_path: str, queries: DataFrame, dim: int,
     (``PartitionFilters: [dynamicpruning#...]`` in ``.explain``), so no
     driver-side probe collection is needed and the physical read is
     nprobe/cells of the index no matter the corpus size."""
+    import json
+    import os
+
+    mpath = os.path.join(index_path, "_manifest.json")
+    if os.path.exists(mpath):
+        with open(mpath) as f:
+            man = json.load(f)
+        if man.get("dim") != dim or man.get("cells") != cells:
+            raise ValueError(
+                f"index at {index_path} was built with "
+                f"dim={man.get('dim')}, cells={man.get('cells')}; "
+                f"queried with dim={dim}, cells={cells}")
     e = spark.read.parquet(index_path).select(
         F.col(id_col), _quantized(F.col(vec_col)).alias("__v"),
         F.col("cell").cast("int").alias("cell"))
-    q = with_ivf_cell(queries, dim, cells, qvec_col, _keep_dists=True)
-    keys = F.transform(
-        F.col("__ds"),
-        lambda d, i: d * cells + i.cast("long"))
-    probes = F.transform(F.slice(F.sort_array(keys), 1, nprobe),
-                         lambda x: (x % cells).cast("int"))
-    q = q.select(F.col(qid_col), _quantized(F.col(qvec_col)).alias("__q"),
-                 F.explode(probes).alias("cell"))
-    cand = e.join(F.broadcast(q), "cell").withColumn(
-        "dist2",
-        F.aggregate(F.zip_with(F.col("__v"), F.col("__q"),
-                               lambda x, y: (x - y) * (x - y)),
-                    F.lit(0).cast("long"), lambda acc, v: acc + v),
-    )
-    w = Window.partitionBy(qid_col).orderBy(
-        F.col("dist2").asc(), F.col(id_col).asc())
-    return (
-        cand.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(qid_col, "rank", id_col, "dist2")
-    )
+    return _ivf_probe_topk(e, queries, dim, k, cells, nprobe,
+                           id_col, qid_col, qvec_col)
 
 
 def _plane_coeff(j: int, d: int) -> int:

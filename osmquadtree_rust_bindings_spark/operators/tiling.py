@@ -355,9 +355,12 @@ def assign_tiles_broadcast(df: DataFrame, cells: pd.DataFrame,
 
 
 def iter_tree(tree: "QuadtreeTree"):
-    """Reference ``iter_tree`` (__init__.py:83-94): yields
-    (qt, own_weight, total) in pre-order."""
-    yield from tree.items()
+    """Reference ``iter_tree`` (__init__.py:83-89): yields
+    (qt, own_weight, total) in pre-order, skipping zero-own-weight
+    internal nodes exactly like the reference's ``if q[2]`` guard."""
+    for qt, w, total in tree.items():
+        if w:
+            yield qt, w, total
 
 
 def run_sortblocks(df: DataFrame, out_path: str, qt_col: str = "qt",
@@ -373,7 +376,7 @@ def run_sortblocks(df: DataFrame, out_path: str, qt_col: str = "qt",
     from osmquadtree_rust_bindings_spark.functions.format import LogTimes
 
     lt = LogTimes()
-    depth = min(max_qt_level, choose_plan_depth(df, qt_col))
+    depth = choose_plan_depth(df, qt_col, maxdepth=max_qt_level)
     cells = prepare_quadtree_tree(df, qt_col, depth)
     lt("prepare quadtree tree")
     groups = find_tree_groups(cells, target=target, min_target=min_target)

@@ -180,7 +180,7 @@ def test_ivf_prebuilt_matches_and_prunes(spark, tmp_path):
     from pyspark.sql import functions as F
     from osmquadtree_rust_bindings_spark.operators import similarity as SIM
 
-    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
     idx = str(tmp_path / "ivf_idx")
     SIM.ivf_write_index(emb, idx, dim=64, cells=8)
     q = emb.filter(F.col("vec_id") < 3).select(
