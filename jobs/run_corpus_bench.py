@@ -70,16 +70,14 @@ def gen_embeddings(spark, m: int, dim: int = 64):
     base = spark.range(m).withColumn(
         "src", F.when(F.col("id") % 7 == 6, F.col("id") - 6)
         .otherwise(F.col("id")))
-    # the cross term (src % 9973) * (d + 1) breaks the constant-per-dim
-    # shift that a purely additive pattern gives consecutive ids (which
-    # made every neighbor a spurious near-duplicate)
+    # xxhash64 mixing per (src, d): properly decorrelated components, so
+    # near-dup counts reflect the planted pairs instead of mod-lattice
+    # artifacts (an additive pattern made neighbors spuriously similar)
     vec = F.transform(
         F.sequence(F.lit(0), F.lit(dim - 1)),
-        lambda d: ((((F.col("src") + 1) * 2654435761 + d * 40503
-                     + (F.col("src") % 9973) * (d + 1) * 12289)
-                    % 2003 - 1001)
-                   / 1000.0 + F.when((F.col("id") % 7 == 6) & (d == 0),
-                                     F.lit(0.003)).otherwise(F.lit(0.0)))
+        lambda d: ((F.xxhash64(F.col("src"), d) % 2003) / 1000.0
+                   + F.when((F.col("id") % 7 == 6) & (d == 0),
+                            F.lit(0.003)).otherwise(F.lit(0.0)))
         .cast("float"))
     return base.select(F.col("id").alias("vec_id"), vec.alias("embedding"))
 
