@@ -31,6 +31,9 @@ def main() -> None:
     ap.add_argument("--target", type=int, default=40_000)
     ap.add_argument("--salt-over", type=int, default=None)
     ap.add_argument("--master", default=None)
+    ap.add_argument("--no-bytes", action="store_true",
+                    help="generate the corpus without image payloads "
+                         "(tiling never reads them; 100x smaller)")
     args = ap.parse_args()
 
     from osmquadtree_rust_bindings_spark.session import get_spark
@@ -45,7 +48,9 @@ def main() -> None:
     else:
         path = os.path.join(args.workdir, "images")
         if not os.path.exists(path):
-            I.write_images_table(spark, args.n, path)
+            I.generate_images(spark, args.n,
+                              with_bytes=not args.no_bytes) \
+                .write.mode("overwrite").parquet(path)
         images = spark.read.parquet(path)
 
     t0 = time.time()

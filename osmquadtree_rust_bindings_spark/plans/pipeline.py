@@ -49,7 +49,9 @@ class TilingPipeline:
 
         calc = lin.run_stage(
             spark, "calcqts",
-            lambda: CQ.run_calcqts(images.drop("bytes")))
+            lambda: CQ.run_calcqts(
+                images.drop("bytes") if "bytes" in images.columns
+                else images))
 
         def plan() -> DataFrame:
             depth = min(self.group_depth,

@@ -174,14 +174,22 @@ def generate_images(spark, n: int, num_partitions: int = 32,
     At real scale this is how the 10^12-row corpus would be synthesized:
     each partition generates its own index range; no driver materialization.
     """
+    # yield in bounded chunks: a 65k-row input batch with image payloads
+    # would otherwise serialize as ONE ~600MB Arrow record batch per task
+    # (mapInPandas does not re-slice yielded frames), blowing the JVM's
+    # direct-memory cap at 16M+ rows x 32 tasks — measured OutOfDirectMemory
+    chunk = 8192 if with_bytes else 65536
+
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
             ids = b["id"].to_numpy()
             if len(ids) == 0:
                 continue
             # ranges from spark.range are contiguous per batch
-            yield make_images_pdf(int(ids.min()), int(ids.max()) + 1,
-                                  seed=seed, with_bytes=with_bytes)
+            lo, hi = int(ids.min()), int(ids.max()) + 1
+            for c0 in range(lo, hi, chunk):
+                yield make_images_pdf(c0, min(c0 + chunk, hi),
+                                      seed=seed, with_bytes=with_bytes)
 
     return (
         spark.range(0, n, 1, num_partitions)
