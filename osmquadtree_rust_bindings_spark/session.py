@@ -88,6 +88,11 @@ def get_spark(master: str | None = None, app_name: str = "osmquadtree-spark",
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
+        # bound Python->JVM Arrow batches by BYTES too: the records cap
+        # alone lets a 65k-row frame of ~10KB payloads serialize as one
+        # ~600MB direct buffer per task (measured OutOfDirectMemory);
+        # input batches are already bytes-capped by maxBytesPerBatch=64m
+        .config("spark.sql.execution.arrow.maxBytesPerOutputBatch", "64m")
         .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
         .config("spark.ui.enabled", "false")
     )
