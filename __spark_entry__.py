@@ -69,6 +69,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x10c_linestring_geojson": DQ.q_x10c_linestring_geojson,
         "x11_wkb_point": DQ.q_x11_wkb_point,
         "x11_wkb_line": DQ.q_x11_wkb_line,
+        "x11_wkb_poly": DQ.q_x11_wkb_poly,
         "x16_style_attrs": DQ.q_x16_style_attrs,
         "j7_line_assembly": DQ.q_j7_line_assembly,
         "x7b_date_string": DQ.q_x7b_date_string,

@@ -359,6 +359,27 @@ SELECT cast(way_id as bigint) AS way_id,
          || body AS wkb_hex
 FROM a"""
 
+    # X11 polygon: type 3 + srid flag, nrings=1, ring auto-closed by
+    # appending the first vertex (way coords are always distinct)
+    o["x11_wkb_poly"] = f"""
+WITH n AS (SELECT rowkey // 8 AS way_id, rowkey % 8 AS pos,
+                  {sqlgen.merc_x_expr('lon')} AS mx,
+                  {sqlgen.merc_y_expr('lat')} AS my FROM {PTS}),
+v AS (SELECT way_id, pos,
+             {_le_double_hex('mx')} || {_le_double_hex('my')} AS vh
+      FROM n),
+a AS (SELECT way_id,
+             count(*) + CASE WHEN arg_min(vh, pos) = arg_max(vh, pos)
+                             THEN 0 ELSE 1 END AS npts,
+             string_agg(vh, '' ORDER BY pos)
+               || CASE WHEN arg_min(vh, pos) = arg_max(vh, pos)
+                       THEN '' ELSE arg_min(vh, pos) END AS body
+      FROM v GROUP BY way_id)
+SELECT cast(way_id as bigint) AS way_id,
+       '0103000020110F000001000000' || lpad(to_hex(npts), 2, '0')
+         || '000000' || body AS wkb_hex
+FROM a"""
+
     # X16 render attrs: independent CASE decode of the same partkey-mod
     # tag construction against the PINNED default style/minzoom tables
     o["x16_style_attrs"] = """

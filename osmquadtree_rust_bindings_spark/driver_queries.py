@@ -288,6 +288,29 @@ def q_x11_wkb_line(spark, sf_dir):
             transform=False, srid=3857, scale=1.0)).alias("wkb_hex"))
 
 
+def q_x11_wkb_poly(spark, sf_dir):
+    # X11 EWKB single-ring polygon (reference src/geometry.rs:507-509):
+    # way vertices as the ring, auto-closed (first vertex appended —
+    # derived way coords are always distinct), mercator ints, hex-compared
+    from osmquadtree_rust_bindings_spark.functions import wkb as W
+
+    pts = _pts(spark, sf_dir)
+    nodes = pts.select(
+        (F.col("rowkey") / 8).cast("long").alias("way_id"),
+        (F.col("rowkey") % 8).cast("int").alias("pos"),
+        F.expr(sqlgen.merc_x_expr("lon")).alias("mx"),
+        F.expr(sqlgen.merc_y_expr("lat")).alias("my"))
+    ways = nodes.groupBy("way_id").agg(
+        F.sort_array(F.collect_list(F.struct("pos", "mx", "my")))
+        .alias("line"))
+    return ways.select(
+        "way_id",
+        F.hex(W.polygon_wkb(
+            F.transform("line", lambda v: v.mx),
+            F.transform("line", lambda v: v.my),
+            transform=False, srid=3857, scale=1.0)).alias("wkb_hex"))
+
+
 _HW_VALS = ["motorway", "trunk", "primary", "secondary", "tertiary",
             "residential", "unclassified", "service", "path"]
 _WW_VALS = ["river", "canal", "stream", "drain"]
