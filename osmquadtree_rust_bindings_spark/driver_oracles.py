@@ -51,6 +51,15 @@ def _le_double_hex(c: str) -> str:
     return f"(CASE WHEN {c} = 0 THEN '0000000000000000' ELSE {le} END)"
 
 
+def _le_u32_hex(c: str) -> str:
+    """8-hex-char little-endian uint32 image of integer column ``c``:
+    byte-swap of lpad(to_hex(c), 8, '0').  Safe for ANY count value —
+    the naive ``lpad(to_hex(n), 2, '0') || '000000'`` shortcut is only
+    correct for n <= 255."""
+    be = f"lpad(to_hex({c}), 8, '0')"
+    return " || ".join(f"substr({be}, {p}, 2)" for p in (7, 5, 3, 1))
+
+
 def _values(pdf, cols) -> str:
     rows = ", ".join(
         "(" + ", ".join(str(int(r[c])) for c in cols) + ")"
@@ -355,7 +364,7 @@ a AS (SELECT way_id, count(*) AS npts,
              string_agg(vh, '' ORDER BY pos) AS body
       FROM v GROUP BY way_id)
 SELECT cast(way_id as bigint) AS way_id,
-       '0102000020110F0000' || lpad(to_hex(npts), 2, '0') || '000000'
+       '0102000020110F0000' || {_le_u32_hex('npts')}
          || body AS wkb_hex
 FROM a"""
 
@@ -376,8 +385,8 @@ a AS (SELECT way_id,
                        THEN '' ELSE arg_min(vh, pos) END AS body
       FROM v GROUP BY way_id)
 SELECT cast(way_id as bigint) AS way_id,
-       '0103000020110F000001000000' || lpad(to_hex(npts), 2, '0')
-         || '000000' || body AS wkb_hex
+       '0103000020110F000001000000' || {_le_u32_hex('npts')}
+         || body AS wkb_hex
 FROM a"""
 
     # X16 render attrs: independent CASE decode of the same partkey-mod

@@ -455,7 +455,12 @@ def q_s28_stream_window(spark, sf_dir):
     qname = "s28mem" + uuid.uuid4().hex[:8]
     q = (agg.writeStream.format("memory").queryName(qname)
          .outputMode("complete").trigger(availableNow=True).start())
-    q.awaitTermination(300)
+    # availableNow self-terminates; an unfinished drain would leave a
+    # PARTIAL memory table that hash-mismatches nondeterministically, so
+    # a timeout here must be an error, never a silent fall-through
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("s28 availableNow drain did not finish in 300s")
     return spark.table(qname).select(
         F.unix_timestamp(F.col("w.start")).cast("long").alias("win_start"),
         "event_type", F.col("n").cast("long").alias("n"))
@@ -779,13 +784,17 @@ def q_ann_ivf_prebuilt(spark, sf_dir):
     # partitions via dynamic partition pruning — the ingest-once /
     # query-many production shape.  Oracle = the ann_ivf_topk replay.
     import hashlib
+    import os
     import tempfile
 
     emb = _read(spark, sf_dir, "embeddings")
-    # deterministic per-sf path: repeat invocations overwrite in place
-    # instead of accumulating full embedding copies in /tmp
+    # per-(sf, process) path: repeat invocations IN one process overwrite
+    # in place (no /tmp accumulation of embedding copies), while two
+    # concurrent suite runs on the same sf_dir get disjoint paths — a
+    # shared path races the overwrite against the other run's deferred scan
     idx = (tempfile.gettempdir() + "/ivf_gate_"
-           + hashlib.md5(sf_dir.encode()).hexdigest()[:10])
+           + hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+           + f"_p{os.getpid()}")
     SIM.ivf_write_index(emb, idx, dim=64, cells=8)
     queries = emb.filter(F.col("vec_id") < 4).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec"))

@@ -438,6 +438,16 @@ def _ivf_probe_topk(e: DataFrame, queries: DataFrame, dim: int, k: int,
     )
 
 
+def _manifest_fs(spark, index_path: str):
+    """(FileSystem, Path) for the index's _manifest.json via the Hadoop FS
+    API — the manifest must live on the SAME filesystem as the index
+    (hdfs://, s3a://, file:/...), not on the driver's local disk."""
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(index_path, "_manifest.json")
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, p
+
+
 def ivf_write_index(embeddings: DataFrame, path: str, dim: int,
                     cells: int = 8, id_col: str = "vec_id",
                     vec_col: str = "embedding") -> None:
@@ -446,15 +456,20 @@ def ivf_write_index(embeddings: DataFrame, path: str, dim: int,
     cell, plus a _manifest.json recording (dim, cells) so queries can
     fail fast on mismatched parameters.  At corpus scale this is the
     ingest-time step that turns every subsequent ANN query into a pruned
-    scan."""
+    scan.  The manifest is written through the Hadoop FS API so it lands
+    next to the data on ANY filesystem the index itself supports."""
     import json
-    import os
 
     (with_ivf_cell(embeddings, dim, cells, vec_col)
      .select(id_col, vec_col, "cell")
      .write.mode("overwrite").partitionBy("cell").parquet(path))
-    with open(os.path.join(path, "_manifest.json"), "w") as f:
-        json.dump({"dim": dim, "cells": cells}, f)
+    fs, p = _manifest_fs(embeddings.sparkSession, path)
+    out = fs.create(p, True)
+    try:
+        out.write(bytearray(json.dumps({"dim": dim, "cells": cells})
+                            .encode("utf-8")))
+    finally:
+        out.close()
 
 
 def ann_ivf_prebuilt(spark, index_path: str, queries: DataFrame, dim: int,
@@ -468,19 +483,34 @@ def ann_ivf_prebuilt(spark, index_path: str, queries: DataFrame, dim: int,
     the partition column triggers Spark's dynamic partition pruning
     (``PartitionFilters: [dynamicpruning#...]`` in ``.explain``), so no
     driver-side probe collection is needed and the physical read is
-    nprobe/cells of the index no matter the corpus size."""
-    import json
-    import os
+    nprobe/cells of the index no matter the corpus size.
 
-    mpath = os.path.join(index_path, "_manifest.json")
-    if os.path.exists(mpath):
-        with open(mpath) as f:
-            man = json.load(f)
-        if man.get("dim") != dim or man.get("cells") != cells:
-            raise ValueError(
-                f"index at {index_path} was built with "
-                f"dim={man.get('dim')}, cells={man.get('cells')}; "
-                f"queried with dim={dim}, cells={cells}")
+    The (dim, cells) manifest is MANDATORY: it is read through the
+    Hadoop FS API (same filesystem as the index — hdfs://, s3a://,
+    file:/...) and a missing manifest raises rather than silently
+    skipping validation, because probing wrong cells returns wrong
+    neighbors, not an error."""
+    import json
+
+    fs, p = _manifest_fs(spark, index_path)
+    if not fs.exists(p):
+        raise ValueError(
+            f"no _manifest.json at {index_path}: not an ivf_write_index "
+            f"layout (validation of dim/cells is mandatory — a mismatch "
+            f"probes wrong cells and silently returns wrong neighbors)")
+    stream = fs.open(p)
+    try:
+        # read fully via the JVM-side utility (py4j streams have no .read)
+        man = json.loads(bytes(
+            spark._jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
+        ).decode("utf-8"))
+    finally:
+        stream.close()
+    if man.get("dim") != dim or man.get("cells") != cells:
+        raise ValueError(
+            f"index at {index_path} was built with "
+            f"dim={man.get('dim')}, cells={man.get('cells')}; "
+            f"queried with dim={dim}, cells={cells}")
     e = spark.read.parquet(index_path).select(
         F.col(id_col), _quantized(F.col(vec_col)).alias("__v"),
         F.col("cell").cast("int").alias("cell"))

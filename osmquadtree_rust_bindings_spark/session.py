@@ -44,19 +44,24 @@ def ensure_shipped(spark: SparkSession) -> None:
     """Idempotently register the package zip on an EXISTING session so
     executor python workers can import the kernels — needed when the
     session was built by a caller (e.g. the driver harness) instead of
-    :func:`get_spark`, possibly with a cwd far from the repo."""
+    :func:`get_spark`, possibly with a cwd far from the repo.
+
+    Idempotence is decided by LOOKING, not by sniffing exception text:
+    a zip whose basename is already in ``sc.listFiles`` (registered by
+    this module under another import, or by a prior session user) is
+    skipped; any exception from addPyFile is a real failure and raises."""
     sc = spark.sparkContext
     if id(sc) in _shipped:
         return
+    zip_path = build_pyfiles_zip()
+    base = os.path.basename(zip_path)
     try:
-        sc.addPyFile(build_pyfiles_zip())
-    except Exception as e:
-        # re-registering the same zip on a context is benign; any OTHER
-        # failure (zip build, JVM error) must surface now — swallowed, it
-        # resurfaces later as opaque executor ImportErrors
-        msg = str(e).lower()
-        if "already" not in msg and "exists" not in msg:
-            raise
+        already = any(f.rstrip("/").rsplit("/", 1)[-1] == base
+                      for f in sc.listFiles)
+    except Exception:
+        already = False
+    if not already:
+        sc.addPyFile(zip_path)
     _shipped.add(id(sc))
 
 
