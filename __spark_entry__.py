@@ -45,7 +45,38 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from osmquadtree_rust_bindings_spark import driver_queries as DQ
 
+    # EXACTLY 50 entries (the driver's correctness harness checks the
+    # first 50 in dict order), ordered so the least-recently-verified
+    # gates come first: the three that were rewritten/new in round 2 and
+    # missed the round-2 window, then the round-1-only nine, then gates
+    # new or merged this round, then the round-2-green remainder.
+    # Related operators share merged gates (see driver_queries.py
+    # "merged gates"): x10 cell+point+line, x11 point+line+poly, text
+    # quality+langid+fingerprint, ann l2+cosine, x1+x8, x5+x1b, x7+x7b,
+    # x14+x13, s11 image+audio+video.
     return {k: _wrap(v) for k, v in {
+        # -- never driver-verified in current form (round-2 rewrites) --
+        "dedup_embedding_cosine": DQ.q_dedup_embedding_cosine,
+        "dedup_embedding_cosine_lsh": DQ.q_dedup_embedding_cosine_lsh,
+        "ann_ivf_prebuilt": DQ.q_ann_ivf_prebuilt,
+        # -- hash-exact in round 1 only (unchanged, outside r02 window) --
+        "dedup_simhash": DQ.q_dedup_simhash,
+        "ann_ivf_topk": DQ.q_ann_ivf_topk,
+        "ann_lsh_bucket_hist": DQ.q_ann_lsh_bucket_hist,
+        "ann_lsh_multiprobe": DQ.q_ann_lsh_multiprobe,
+        # -- new or merged this round --
+        "text_analysis": DQ.q_text_analysis,
+        "ann_brute_topk": DQ.q_ann_brute_topk,
+        "s2_header": DQ.q_s2_header,
+        "j6b_rename_classes": DQ.q_j6b_rename_classes,
+        "x10_geojson": DQ.q_x10_geojson_all,
+        "x11_wkb": DQ.q_x11_wkb_all,
+        "x1_point_qt": DQ.q_x1_point_qt_merc,
+        "x5_tile_views": DQ.q_x5_tile_views,
+        "x7_time_rollup": DQ.q_x7_time_rollup,
+        "x14_enum_codecs": DQ.q_x14_enum_codecs,
+        "s11_modalities": DQ.q_s11_modalities,
+        # -- round-2-green, unchanged --
         "a1_count_fingerprint": DQ.q_a1_count_fingerprint,
         "a5_count_by_group": DQ.q_a5_count_by_group,
         "a2_refs_stats": DQ.q_a2_refs_stats,
@@ -53,40 +84,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a4_num_blocks": DQ.q_a4_num_blocks,
         "x_qt_common_rollup": DQ.q_x_qt_common_rollup,
         "x9_feature_bounds": DQ.q_x9_feature_bounds,
-        "x7_time_rollup": DQ.q_x7_time_rollup,
         "j3_merge_latest": DQ.q_j3_merge_latest,
         "j5_apply_changes": DQ.q_j5_apply_changes,
         "j6_diff_summary": DQ.q_j6_diff_summary,
         "j1_semi_join_cascade": DQ.q_j1_semi_join_cascade,
         "j1b_exnodes": DQ.q_j1b_exnodes,
-        "x1_point_qt": DQ.q_x1_point_qt,
-        "x1b_qt_views": DQ.q_x1b_qt_views,
         "x2_bbox_qt_depth_hist": DQ.q_x2_bbox_qt_depth_hist,
         "x4_prefix_range_count": DQ.q_x4_prefix_range_count,
-        "x5_tile_bbox": DQ.q_x5_tile_bbox,
-        "x10_geojson": DQ.q_x10_geojson,
-        "x10b_point_geojson": DQ.q_x10b_point_geojson,
-        "x10c_linestring_geojson": DQ.q_x10c_linestring_geojson,
-        "x11_wkb_point": DQ.q_x11_wkb_point,
-        "x11_wkb_line": DQ.q_x11_wkb_line,
-        "x11_wkb_poly": DQ.q_x11_wkb_poly,
         "x16_style_attrs": DQ.q_x16_style_attrs,
         "j7_line_assembly": DQ.q_j7_line_assembly,
-        "x7b_date_string": DQ.q_x7b_date_string,
-        "x8_mercator": DQ.q_x8_mercator,
         "s12_filtered_merge": DQ.q_s12_filtered_merge,
         "f7_asof_read": DQ.q_f7_asof_read,
-        "x14_enum_codecs": DQ.q_x14_enum_codecs,
         "s28_stream_window": DQ.q_s28_stream_window,
         "s13_ordered_rank": DQ.q_s13_ordered_rank,
-        "s11_image_decode_stats": DQ.q_s11_image_decode_stats,
-        "s11b_audio_features": DQ.q_s11b_audio_features,
-        "s11c_video_features": DQ.q_s11c_video_features,
         "s14_tile_counts": DQ.q_s14_tile_counts,
-        "a10_tile_plan": DQ.q_a10_tile_plan,
         "a10_plan_invariants": DQ.q_a10_plan_invariants,
         "a11_assign_invariants": DQ.q_a11_assign_invariants,
-        "a11_tile_assign": DQ.q_a11_tile_assign,
         "j11_bbox_join": DQ.q_j11_bbox_join,
         "j9_pip_join": DQ.q_j9_pip_join,
         "j10_knn_join": DQ.q_j10_knn_join,
@@ -96,18 +109,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": DQ.q_dedup_exact,
         "dedup_ngram_jaccard": DQ.q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": DQ.q_dedup_minhash_lsh,
-        "dedup_simhash": DQ.q_dedup_simhash,
-        "dedup_embedding_cosine": DQ.q_dedup_embedding_cosine,
-        "dedup_embedding_cosine_lsh": DQ.q_dedup_embedding_cosine_lsh,
-        "text_quality": DQ.q_text_quality,
-        "text_langid": DQ.q_text_langid,
-        "text_fingerprint": DQ.q_text_fingerprint,
-        "ann_l2_topk": DQ.q_ann_l2_topk,
-        "ann_ivf_topk": DQ.q_ann_ivf_topk,
-        "ann_ivf_prebuilt": DQ.q_ann_ivf_prebuilt,
-        "ann_lsh_bucket_hist": DQ.q_ann_lsh_bucket_hist,
-        "ann_lsh_multiprobe": DQ.q_ann_lsh_multiprobe,
-        "ann_cosine_topk": DQ.q_ann_cosine_topk,
     }.items()}
 
 

@@ -19,6 +19,9 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+# per-operator names kept stable across rounds for comparability — some
+# are merged gates in queries() now, so bench resolves them from
+# driver_queries directly (q_<name>), falling back to the gate registry
 HEADLINE = [
     "x1_point_qt",          # tile assignments (calc_qts point keys)
     "x2_bbox_qt_depth_hist",  # bbox calc_qts
@@ -59,7 +62,13 @@ def main() -> None:
     spark = get_spark(f"local[{cpus}]", app_name="osmquadtree-bench",
                       shuffle_partitions=int(cpus))
     spark.sparkContext.setLogLevel("ERROR")
-    qs = entrymod.queries()
+    from osmquadtree_rust_bindings_spark import driver_queries as DQ
+    from osmquadtree_rust_bindings_spark.session import ensure_shipped
+
+    ensure_shipped(spark)
+    gate_qs = entrymod.queries()
+    qs = {name: getattr(DQ, f"q_{name}", None) or gate_qs[name]
+          for name in HEADLINE}
 
     # warmup at the smallest sf: JIT, python workers, broadcast machinery.
     # Every headline query runs once at sf0.001 so the measured pass below

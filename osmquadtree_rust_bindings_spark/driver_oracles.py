@@ -120,7 +120,14 @@ WHERE rowkey % 2 = 0 AND lon BETWEEN {bx[0]} AND {bx[2]}
 
     # X14: independent decode — direct CASE over the mod index instead
     # of replaying the alias tables
-    o["x14_enum_codecs"] = """
+    # x14/x13: enum codecs + the human size/duration formatters.  printf
+    # here is C-style correct-rounding vs Java HALF_UP on the Spark side:
+    # identical because the size is always odd, so num/1024^k can never
+    # land on an exact .x5 decimal tie (ties need 256 | num), and
+    # durations are whole seconds.
+    sz = "((id * 2 + 1) * 977) % 4000000000"
+    dur = "(id * 13) % 7200"
+    o["x14_enum_codecs"] = f"""
 WITH t AS (SELECT o_orderkey AS id, o_orderkey % 7 AS i FROM orders)
 SELECT cast(id as bigint) AS id,
        CASE i WHEN 0 THEN 'normal' WHEN 1 THEN 'delete' WHEN 2 THEN 'remove'
@@ -131,7 +138,17 @@ SELECT cast(id as bigint) AS id,
               ELSE 'invalid' END AS elementtype,
        CASE i WHEN 0 THEN 'n' WHEN 1 THEN 'w' WHEN 2 THEN 'r'
               WHEN 3 THEN 'n' WHEN 4 THEN 'w' WHEN 5 THEN 'r'
-              ELSE '?' END AS et_short
+              ELSE '?' END AS et_short,
+       CASE WHEN id % 31 = 0 THEN '??'
+            WHEN {sz} < 1536 THEN printf('%6db', {sz})
+            WHEN {sz} < 1572864 THEN printf('%6.1fkb', ({sz}) / 1024.0)
+            WHEN {sz} < 1610612736
+                 THEN printf('%6.1fMb', ({sz}) / 1048576.0)
+            ELSE printf('%6.1fGb', ({sz}) / 1073741824.0) END AS size_s,
+       CASE WHEN {dur} < 90
+                 THEN printf('     %4.1fs', cast({dur} as double))
+            ELSE printf('%4dm%4.1fs', ({dur}) // 60,
+                        cast(({dur}) % 60 as double)) END AS dur_s
 FROM t"""
 
     # F7 as-of read: snapshots 0 (all, v1) + 1 (rowkey%5==0, v2) are
@@ -153,7 +170,9 @@ FROM events GROUP BY 1, 2"""
     o["x7_time_rollup"] = """
 SELECT cast(year(ts) * 100 + month(ts) as bigint) AS ym,
        cast(count(*) as bigint) AS num,
-       cast(min(event_id) as bigint) AS min_id
+       cast(min(event_id) as bigint) AS min_id,
+       strftime(min(ts), '%Y-%m-%d') AS first_d,
+       strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS last_ts_s
 FROM events GROUP BY 1"""
 
     o["j3_merge_latest"] = """
@@ -831,4 +850,117 @@ WHERE rank <= 10"""
 
     # the prebuilt-index variant returns the identical result set
     o["ann_ivf_prebuilt"] = o["ann_ivf_topk"]
+
+    # ---------------- merged gates (the driver checks at most 50 entries):
+    # compose the single-operator oracles exactly the way the Spark gates
+    # compose the single-operator queries, then retire the singles.
+
+    o["x1_point_qt"] = f"""
+WITH q AS ({o['x1_point_qt']}), m AS ({o['x8_mercator']})
+SELECT q.rowkey, q.qt, m.mx, m.my FROM q JOIN m ON q.rowkey = m.rowkey"""
+
+    o["x5_tile_views"] = f"""
+SELECT b.tile, b.minlon, b.maxlon, b.minlat, b.maxlat,
+       v.z, v.x, v.y, v.qt_str
+FROM ({o['x5_tile_bbox']}) b
+JOIN ({o['x1b_qt_views']}) v ON b.tile = v.tile"""
+
+    o["x10_geojson"] = f"""
+SELECT 'cell' AS kind, cast(tile as bigint) AS id, geojson
+FROM ({o['x10_geojson']})
+UNION ALL
+SELECT 'point' AS kind, cast(rowkey as bigint) AS id, geojson
+FROM ({o['x10b_point_geojson']})
+UNION ALL
+SELECT 'line' AS kind, cast(way_id as bigint) AS id, geojson
+FROM ({o['x10c_linestring_geojson']})"""
+
+    o["x11_wkb"] = f"""
+SELECT 'point' AS kind, cast(id as bigint) AS id, wkb_hex
+FROM ({o['x11_wkb_point']})
+UNION ALL
+SELECT 'line' AS kind, cast(way_id as bigint) AS id, wkb_hex
+FROM ({o['x11_wkb_line']})
+UNION ALL
+SELECT 'poly' AS kind, cast(way_id as bigint) AS id, wkb_hex
+FROM ({o['x11_wkb_poly']})"""
+
+    o["text_analysis"] = f"""
+SELECT q.doc_id, q.n_ws_tokens, q.n_bpe_tokens, q.stop_hits, q.n_symbols,
+       q.is_quality, l.lang_pred, f.fingerprint
+FROM ({o['text_quality']}) q
+JOIN ({o['text_langid']}) l ON q.doc_id = l.doc_id
+JOIN ({o['text_fingerprint']}) f ON q.doc_id = f.doc_id"""
+
+    o["ann_brute_topk"] = f"""
+SELECT 'l2' AS kind, qid, rank, vec_id, dist2 AS val
+FROM ({o['ann_l2_topk']})
+UNION ALL
+SELECT 'cosine' AS kind, qid, rank, vec_id, score AS val
+FROM ({o['ann_cosine_topk']})"""
+
+    # S2 get_header round trip: base snapshot carries the pts bbox +
+    # feature lists + replication cursor 41; the change snapshot extends
+    # the bbox 1000 units west, adds one required feature and advances the
+    # cursor to 42.  4 + 2 repartitioned parquet files = the block index.
+    o["s2_header"] = f"""
+SELECT min(lon) - 1000 AS min_lon, min(lat) AS min_lat,
+       max(lon) AS max_lon, max(lat) AS max_lat,
+       'osmquadtree-spark' AS writingprogram,
+       'synthetic-pts' AS source,
+       cast(1600100000 as bigint) AS repl_ts,
+       cast(42 as bigint) AS repl_seq,
+       'OsmSchema-V0.6,DenseNodes,HistoricalInformation' AS req_features,
+       'Sort.Type_then_ID' AS opt_features,
+       cast(6 as bigint) AS num_blocks,
+       cast(2 as bigint) AS n_change_blocks
+FROM {PTS}"""
+
+    # J6b: full ElementCompare classification + the ChangedUserName arm
+    # (distinct (uid, name) pairs joined across sides), replayed exactly,
+    # including the only_right extras carrying their ORIGINAL user names
+    o["j6b_rename_classes"] = """
+WITH c AS (SELECT cast(c_custkey as bigint) AS id,
+                  c_custkey % 50 AS uid,
+                  'u' || cast(c_custkey % 50 as string) AS usr,
+                  (c_custkey * 7) % 1000 AS info,
+                  (c_custkey * 11) % 1000 AS tags,
+                  (c_custkey * 13) % 1000 AS data,
+                  (c_custkey * 17) % 1000 AS quadtree
+           FROM customer),
+kept AS (SELECT * FROM c WHERE id % 13 <> 0),
+r AS (SELECT id, uid,
+             CASE WHEN uid % 5 = 0 THEN usr || 'x' ELSE usr END AS usr,
+             CASE WHEN id % 17 = 0 THEN info + 1 ELSE info END AS info,
+             CASE WHEN id % 19 = 0 THEN tags + 1 ELSE tags END AS tags,
+             CASE WHEN id % 23 = 0 THEN data + 1 ELSE data END AS data,
+             CASE WHEN id % 29 = 0 THEN quadtree + 1
+                  ELSE quadtree END AS quadtree
+      FROM kept
+      UNION ALL
+      SELECT -id - 1, uid, usr, info, tags, data, quadtree
+      FROM kept WHERE (id + 1) % 31 = 0)
+SELECT diff_class, cast(count(*) as bigint) AS num FROM (
+  SELECT CASE WHEN r.id IS NULL THEN 'only_left'
+              WHEN c.id IS NULL THEN 'only_right'
+              WHEN c.info <> r.info THEN 'different_info'
+              WHEN c.tags <> r.tags THEN 'different_tags'
+              WHEN c.data <> r.data THEN 'different_data'
+              WHEN c.quadtree <> r.quadtree THEN 'different_quadtree'
+              ELSE 'same' END AS diff_class
+  FROM c FULL OUTER JOIN r ON c.id = r.id)
+GROUP BY diff_class
+UNION ALL
+SELECT 'changed_user_name' AS diff_class, cast(count(*) as bigint) AS num
+FROM (SELECT DISTINCT uid, usr FROM c) lu
+JOIN (SELECT DISTINCT uid, usr FROM r) ru
+  ON lu.uid = ru.uid AND lu.usr <> ru.usr"""
+
+    for k in ("x7b_date_string",
+              "x8_mercator", "x1b_qt_views", "x5_tile_bbox",
+              "x10b_point_geojson", "x10c_linestring_geojson",
+              "x11_wkb_point", "x11_wkb_line", "x11_wkb_poly",
+              "text_quality", "text_langid", "text_fingerprint",
+              "ann_l2_topk", "ann_cosine_topk"):
+        del o[k]
     return o

@@ -42,6 +42,31 @@ def min_sec_str(t) -> str:
     return "%4dm%4.1fs" % (mins, t - mins * 60)
 
 
+def bytes_str_col(num: Column) -> Column:
+    """Column form of :func:`bytes_str` (same branch thresholds,
+    reference __init__.py:29-39), staying in codegen via format_string.
+    Rounding note: Java's %.1f (format_string) rounds HALF_UP while C's
+    rounds the binary value to nearest — they can only disagree on exact
+    decimal ties, and num/1024^k can never be an exact multiple of 0.05,
+    so the outputs are identical for every integer input."""
+    kb, mb, gb = 1024.0, 1024.0 ** 2, 1024.0 ** 3
+    return (
+        F.when(num < 0, F.lit("??"))
+        .when(num < kb * 1.5, F.format_string("%6db", num.cast("long")))
+        .when(num < mb * 1.5, F.format_string("%6.1fkb", num / kb))
+        .when(num < gb * 1.5, F.format_string("%6.1fMb", num / mb))
+        .otherwise(F.format_string("%6.1fGb", num / gb)))
+
+
+def min_sec_str_col(t: Column) -> Column:
+    """Column form of :func:`min_sec_str` (reference __init__.py:127-133)."""
+    mins = F.floor(t / 60).cast("long")
+    return (
+        F.when(t < 90, F.format_string("     %4.1fs", t.cast("double")))
+        .otherwise(F.format_string("%4dm%4.1fs", mins,
+                                   t - mins.cast("double") * 60)))
+
+
 class LogTimes:
     """Reference-exact stage-timing log (__init__.py:110-125): call with a
     message to record the elapsed interval since the previous call;

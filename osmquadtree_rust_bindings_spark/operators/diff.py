@@ -62,6 +62,22 @@ def diff_summary(left: DataFrame, right: DataFrame, key: list[str],
     )
 
 
+def changed_usernames(left: DataFrame, right: DataFrame, uid_col: str,
+                      name_col: str) -> DataFrame:
+    """The ChangedUserName arm of compare_pbf_files (reference
+    src/count.rs:540-556): distinct (uid, left_name, right_name) triples
+    where the SAME uid carries a different name on each side — user
+    renames, reported separately from per-element divergences.  Two
+    distinct-projections + one equi-join on uid; at scale both sides
+    reduce to the (small) user dimension before the join."""
+    l = left.select(F.col(uid_col).alias("uid"),
+                    F.col(name_col).alias("left_name")).distinct()
+    r = right.select(F.col(uid_col).alias("uid"),
+                     F.col(name_col).alias("right_name")).distinct()
+    return l.join(r, "uid").filter(
+        ~F.col("left_name").eqNullSafe(F.col("right_name")))
+
+
 def merge_latest(df: DataFrame, key: list[str],
                  version: str = "version") -> DataFrame:
     """J3/J4: latest-version-wins merge of overlapping snapshots.

@@ -16,6 +16,7 @@ DRIVER_SIDE_ALLOWED = {
     "operators/similarity.py": 1,    # near-dup broadcast matrix (bounded side)
     "operators/tiling.py": 2,    # depth-choice agg row + cell histogram
     "checkpoint.py": 1,          # lineage rows (O(partitions))
+    "driver_queries.py": 1,      # s2_header bbox agg (one metadata row)
 }
 
 
