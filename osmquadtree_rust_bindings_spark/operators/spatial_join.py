@@ -255,6 +255,135 @@ def knn_join(points: DataFrame, queries_pdf: pd.DataFrame,
     return spark.createDataFrame(out)
 
 
+def knn_join_batch(points: DataFrame, queries: DataFrame,
+                   point_id: str = "image_id", level: int = 6,
+                   qt_point: str = "qt_point") -> DataFrame:
+    """J10 at batch scale: identical results to :func:`knn_join`, but ALL
+    queries resolve in ONE plan — no driver convergence loop, no
+    per-round materialization, queries as a DataFrame (10^5+ fine).
+
+    Shape:
+    1. one narrow aggregation builds the level-``level`` cell histogram
+       (<= 4^level rows — plan-sized, driver-bounded by construction);
+    2. a mapInPandas over the QUERY side (histogram shipped via a Spark
+       broadcast variable) derives each query's ring radius from the
+       density — the smallest Chebyshev radius whose cumulative ring
+       count covers k (integral-image lookup, O(1) per probe), enlarged
+       until the ring guarantee radius exceeds the candidate-distance
+       bound (sqrt2 * (r_k+1) cells at equator scale >= any haversine
+       distance inside the covering box) — and emits the ring cells
+       executor-side;
+    3. one equi-join points -> ring cells -> queries plus one window
+       re-rank, exactly knn_join's refine.
+
+    The guarantee that makes the single pass exact: every point outside
+    the Chebyshev-``r`` ring is at least ``r * C * cos(ring-edge lat)``
+    ground meters away (C = 2piR/2^level), while the k points inside the
+    radius-``r_k`` box are at most ``(r_k+1) * sqrt2 * C`` away (mercator
+    planar length at the equator bounds ground length, cos <= 1), so any
+    ``r`` with ``r * cos_edge >= (r_k+1) * sqrt2`` closes the search —
+    per query, in one shot instead of knn_join's doubling rounds.
+    """
+    from pyspark.sql.window import Window
+
+    spark = points.sparkSession
+    sh = 63 - 2 * level
+    n = 1 << level
+    pts = points.withColumn(
+        "cell_knn", F.shiftrightunsigned(F.col(qt_point), sh)).select(
+        "cell_knn", point_id, "lon", "lat")
+
+    hist = (pts.groupBy("cell_knn").count().toPandas())
+    grid = np.zeros((n, n), dtype=np.int64)
+    # cell_knn is qt >>> sh; rebuild a valid level-`level` key (depth in
+    # the low 5 bits) before decoding to grid coordinates
+    hx, hy, _hd = K.qt_to_cell(
+        (hist["cell_knn"].to_numpy(np.int64) << np.int64(sh))
+        | np.int64(level))
+    grid[hx, hy] = hist["count"].to_numpy(np.int64)
+    # integral image over y per x-column + x prefix: ring sums in O(1),
+    # with x wrapped modulo n (antimeridian) as <=2 interval lookups
+    integ = np.zeros((n + 1, n + 1), dtype=np.int64)
+    integ[1:, 1:] = grid.cumsum(0).cumsum(1)
+    total = int(grid.sum())
+    b_int = spark.sparkContext.broadcast(integ)
+
+    def box_count(ig, cx, cy, r):
+        y0, y1 = max(0, cy - r), min(n - 1, cy + r)
+        x0, x1 = cx - r, cx + r
+        if x1 - x0 + 1 >= n:
+            xa = [(0, n - 1)]
+        else:
+            x0m, x1m = x0 % n, x1 % n
+            xa = [(x0m, x1m)] if x0m <= x1m else [(x0m, n - 1), (0, x1m)]
+        s = 0
+        for a, b in xa:
+            s += (ig[b + 1, y1 + 1] - ig[a, y1 + 1]
+                  - ig[b + 1, y0] + ig[a, y0])
+        return s
+
+    def rings(batches):
+        ig = b_int.value
+        for qb in batches:
+            qlon = qb["lon"].to_numpy(np.int64)
+            qlat = qb["lat"].to_numpy(np.int64)
+            ks = qb["k"].to_numpy(np.int64)
+            x, y = K.norm_xy(qlon, qlat)
+            cxs = np.clip(np.floor(x * n).astype(np.int64), 0, n - 1)
+            cys = np.clip(np.floor(y * n).astype(np.int64), 0, n - 1)
+            out_q, out_c = [], []
+            for qid, cx, cy, k in zip(qb["qid"].tolist(), cxs, cys, ks):
+                cx, cy = int(cx), int(cy)
+                if total < k:
+                    rf = n  # take what exists: whole grid
+                else:
+                    rk = 0
+                    while box_count(ig, cx, cy, rk) < k:
+                        rk += 1
+                    need = (rk + 1) * np.sqrt(2.0)
+                    rf = int(np.ceil(need))
+                    while rf < n:
+                        y_edge = max(abs(2.0 * ((cy - rf) / n) - 1.0),
+                                     abs(2.0 * ((cy + rf + 1) / n) - 1.0))
+                        lat_edge = K.inv_merc_y(min(y_edge, 1.0))
+                        cos_e = np.cos(np.radians(
+                            min(abs(float(lat_edge)), 89.9)))
+                        if rf * cos_e >= need:
+                            break
+                        rf += 1
+                rf = min(rf, n)
+                xs = np.unique(np.arange(cx - rf, cx + rf + 1) % n)
+                ys = np.arange(max(0, cy - rf), min(n - 1, cy + rf) + 1)
+                gx, gy = np.meshgrid(xs, ys)
+                cells = K.qt_from_cell(gx.ravel(), gy.ravel(),
+                                       np.full(gx.size, level))
+                out_q.extend([qid] * len(cells))
+                out_c.extend((int(c) >> sh) for c in cells)
+                if len(out_q) >= 200_000:
+                    yield pd.DataFrame({"qid": out_q, "cell_knn": out_c})
+                    out_q, out_c = [], []
+            if out_q:
+                yield pd.DataFrame({"qid": out_q, "cell_knn": out_c})
+
+    ring_df = queries.select("qid", "lon", "lat", "k").mapInPandas(
+        rings, schema="qid long, cell_knn long")
+    qdf = queries.select("qid", F.col("lon").alias("qlon"),
+                         F.col("lat").alias("qlat"), "k")
+    cand = (
+        pts.join(ring_df, "cell_knn")
+        .join(qdf, "qid")
+        .withColumn("dist_m", Q.haversine_m(
+            F.col("lon"), F.col("lat"), F.col("qlon"), F.col("qlat")))
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("dist_m").asc(),
+                                          F.col(point_id).asc())
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= F.col("k"))
+        .select("qid", "rank", point_id, "dist_m")
+    )
+
+
 # --------------------------------------------------------------- J12 raster
 
 def raster_vector_assign(df: DataFrame, raster_depth: int = 10,

@@ -381,7 +381,8 @@ def run_sortblocks(df: DataFrame, out_path: str, qt_col: str = "qt",
     lt("prepare quadtree tree")
     groups = find_tree_groups(cells, target=target, min_target=min_target)
     lt("find tree groups")
-    write_tiled(df, out_path, groups, qt_col=qt_col, salt_over=salt_over)
+    write_tiled(df, out_path, groups, qt_col=qt_col, salt_over=salt_over,
+                cells=cells, plan_depth=depth)
     lt("sort blocks")
     print(lt)
     return groups
@@ -389,14 +390,25 @@ def run_sortblocks(df: DataFrame, out_path: str, qt_col: str = "qt",
 
 def write_tiled(df: DataFrame, path: str, groups: pd.DataFrame,
                 qt_col: str = "qt", order_cols: tuple[str, ...] = ("qt",),
-                salt_over: int | None = None) -> DataFrame:
+                salt_over: int | None = None,
+                cells: pd.DataFrame | None = None,
+                plan_depth: int | None = None) -> DataFrame:
     """S14 sink: assign tiles, one shuffle on (tile[, salt]), sort within
     partitions by (qt, order), write parquet partitioned by tile.
+
+    With ``cells`` + ``plan_depth`` (the histogram the plan was built
+    from — run_sortblocks always has it) the assignment is the zero-Python
+    :func:`assign_tiles_broadcast` equi-join; without them it falls back
+    to the pandas-kernel :func:`assign_tiles`.
 
     The shuffle replaces the reference's temp-file staging (splitat/limit/
     fsplit knobs, src/readpbf.rs:694-700) — Spark spills automatically.
     """
-    tiled = assign_tiles(df, groups, qt_col=qt_col, salt_over=salt_over)
+    if cells is not None and plan_depth is not None:
+        tiled = assign_tiles_broadcast(df, cells, groups, plan_depth,
+                                       qt_col=qt_col, salt_over=salt_over)
+    else:
+        tiled = assign_tiles(df, groups, qt_col=qt_col, salt_over=salt_over)
     keys = ["tile", "tile_salt"] if salt_over is not None else ["tile"]
     (
         tiled.repartition(*[F.col(k) for k in keys])

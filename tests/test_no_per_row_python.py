@@ -12,7 +12,8 @@ PKG = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
 # plan/metrics-sized dataset, documented at the call site)
 DRIVER_SIDE_ALLOWED = {
     "plans/pipeline.py": 1,      # tile-group plan (O(groups))
-    "operators/spatial_join.py": 1,  # kNN remaining-query set (O(queries))
+    "operators/spatial_join.py": 2,  # kNN remaining-query set (O(queries))
+                                     # + batch-kNN cell hist (O(4^level))
     "operators/similarity.py": 1,    # near-dup broadcast matrix (bounded side)
     "operators/tiling.py": 2,    # depth-choice agg row + cell histogram
     "checkpoint.py": 1,          # lineage rows (O(partitions))

@@ -81,6 +81,43 @@ def test_knn_join_exact(spark, calc, images_pdf):
         got[["qid", "rank", "image_id"]], exp, check_dtype=False)
 
 
+def test_knn_join_batch_matches_loop_form(spark, calc):
+    # the single-plan batch variant must return EXACTLY what the
+    # round-looped knn_join returns on the gated fixture
+    queries = FX.make_knn_queries_pdf(25)
+    a = SJ.knn_join(calc, queries).toPandas() \
+        .sort_values(["qid", "rank"]).reset_index(drop=True)
+    b = SJ.knn_join_batch(calc, spark.createDataFrame(queries)).toPandas() \
+        .sort_values(["qid", "rank"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+def test_knn_join_batch_large_query_set(spark, calc, images_pdf):
+    # 10^4 queries resolved in one plan — queries stay a DataFrame end to
+    # end; spot-check 20 against the brute-force oracle
+    rng = np.random.default_rng(99)
+    nq = 10_000
+    qpdf = pd.DataFrame({
+        "qid": np.arange(nq),
+        "lon": rng.integers(-1_700_000_000, 1_700_000_000, nq),
+        "lat": rng.integers(-750_000_000, 750_000_000, nq),
+        "k": rng.choice([1, 3, 5], nq).astype(np.int64),
+    })
+    out = SJ.knn_join_batch(calc, spark.createDataFrame(qpdf))
+    got = out.toPandas()
+    counts = got.groupby("qid")["rank"].max()
+    assert len(counts) == nq
+    assert (counts.sort_index().values == qpdf.sort_values("qid").k.values).all()
+    for i in rng.choice(nq, 20, replace=False):
+        q = qpdf.iloc[int(i)]
+        d = K.haversine_m(images_pdf.lon.values, images_pdf.lat.values,
+                          int(q.lon), int(q.lat))
+        order = np.lexsort((images_pdf.image_id.values, d))[: int(q.k)]
+        exp_ids = images_pdf.image_id.iloc[order].tolist()
+        g = got[got.qid == q.qid].sort_values("rank")
+        assert g.image_id.tolist() == exp_ids, f"qid {q.qid}"
+
+
 def test_knn_empty_region_expands(spark, calc):
     # a query at an extreme corner (few points nearby) must still return k
     q = pd.DataFrame({"qid": [0], "lon": [-1_799_000_000],
