@@ -18,8 +18,11 @@ from dataclasses import dataclass
 
 
 def _iceberg_available(spark) -> bool:
+    # conf presence alone is not evidence: Spark 4.1 resolves
+    # spark.sql.catalog.spark_catalog to a default V2 session catalog even
+    # with no Iceberg on the classpath, so probe the runtime class itself
     try:
-        spark.conf.get("spark.sql.catalog.spark_catalog")
+        spark._jvm.java.lang.Class.forName("org.apache.iceberg.spark.SparkCatalog")
         return True
     except Exception:
         return False
