@@ -86,7 +86,12 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--docs", type=int, default=1_000_000)
     ap.add_argument("--vecs", type=int, default=200_000)
+    ap.add_argument("--ppb", type=int, default=None,
+                    help="LSH planes per band; default auto-sizes to "
+                         "~50 vectors/bucket: round(log2(vecs/50))")
     args = ap.parse_args()
+    import math
+    ppb = args.ppb or max(8, round(math.log2(max(args.vecs, 1024) / 50)))
 
     from pyspark.sql import functions as F
 
@@ -133,12 +138,20 @@ def main() -> None:
     run("cosine_near_dup_lsh",
         SIM.cosine_near_dup_pairs_lsh(vecs, dim=64, threshold_num=9,
                                       threshold_den=10,
-                                      # ppb sized to N: 2^12 buckets/band
-                                      # -> ~50 vecs/bucket at 200k
-                                      planes_per_band=12, bands=4,
+                                      # ppb auto-sized to ~50 vecs/bucket
+                                      # (2^12 at 200k, 2^14 at 1M)
+                                      planes_per_band=ppb, bands=4,
                                       max_bucket=500))
+    # planted-set recall: generators plant exact dups at docs/10 and
+    # embedding near-dup pairs at vecs/7 deterministically
+    res["planted"] = {
+        "exact_dedup_expected": args.docs // 10,
+        "exact_recall": res["exact_dedup_groups"]["rows"] == args.docs // 10,
+        "cosine_pairs_expected": args.vecs // 7,
+        "cosine_recall": res["cosine_near_dup_lsh"]["rows"] == args.vecs // 7,
+    }
     res["total_sec"] = round(sum(v["sec"] for v in res.values()
-                                 if isinstance(v, dict)), 2)
+                                 if isinstance(v, dict) and "sec" in v), 2)
     print("RESULT " + json.dumps(res))
     spark.stop()
 
