@@ -100,7 +100,11 @@ def main() -> None:
     from osmquadtree_rust_bindings_spark.operators import text as TX
     from osmquadtree_rust_bindings_spark.session import get_spark
 
-    spark = get_spark()
+    # rdd.compress: the 10M-doc minhash pass caches a ~400M-row shingle
+    # stream; uncompressed disk-spilled cache blocks + two concurrent
+    # full-width shuffles overran a 59GB /tmp (measured).  Compressing
+    # cached blocks keeps the soak inside commodity local-disk headroom.
+    spark = get_spark(extra_conf={"spark.rdd.compress": "true"})
     spark.sparkContext.setLogLevel("ERROR")
 
     if not os.path.exists(DOCS_PATH + f"_{args.docs}/_SUCCESS"):
@@ -119,6 +123,13 @@ def main() -> None:
         t0 = time.time()
         n = df.count()
         res[name] = {"rows": n, "sec": round(time.time() - t0, 2)}
+        # Dedup passes cache shingle/signature intermediates internally;
+        # dropping them + a JVM GC lets the ContextCleaner delete the
+        # finished stage's shuffle files NOW instead of at an arbitrary
+        # later GC — without this, consecutive 10M-doc passes stack
+        # ~3 suites of shuffle temp and overran a 59GB /tmp (measured).
+        spark.catalog.clearCache()
+        spark.sparkContext._jvm.System.gc()
 
     run("exact_dedup_groups",
         DD.exact_dedup(docs).filter(F.col("dups") > 1))

@@ -201,7 +201,21 @@ def minhash_lsh_pairs(df: DataFrame, num_hashes: int = 16, bands: int = 4,
     # shuffle of the whole pipeline).  Same cached shingle stream the
     # signatures were built from; identical (inter, union) values either
     # way, so the SQL oracle's postings replay still matches hash-exact.
-    sets = sh.groupBy(id_col).agg(F.collect_set("shingle").alias("__ss"))
+    #
+    # Restrict the set build to docs that actually appear in a candidate
+    # pair BEFORE the collect_set: the full-corpus set build shuffled the
+    # entire shingle stream a second time (measured disk-full at 10M docs
+    # — the collect_set shuffle carries every shingle string with no
+    # map-side reduction), while candidates reference only a fraction of
+    # the corpus.  Distinct candidate ids are bounded by 2x the hot-key-
+    # capped pair count, so the semi-join side broadcasts and the shingle
+    # stream reaches the groupBy unshuffled.
+    cand = cand.cache()  # read twice: id semi-join + final verify join
+    cand_ids = (cand.select(F.col("id_a").alias(id_col))
+                .union(cand.select(F.col("id_b").alias(id_col)))
+                .distinct())
+    sets = (sh.join(F.broadcast(cand_ids), id_col, "left_semi")
+            .groupBy(id_col).agg(F.collect_set("shingle").alias("__ss")))
     sa = sets.select(F.col(id_col).alias("id_a"), F.col("__ss").alias("__sa"))
     sb = sets.select(F.col(id_col).alias("id_b"), F.col("__ss").alias("__sb"))
     thr_num = int(round(verify_threshold * 1000))
