@@ -56,11 +56,22 @@ def shingles(df: DataFrame, text: str = "text", id_col: str = "doc_id",
     """Word n-gram shingles: (id, shingle) distinct.
 
     Pure array algebra — split → transform(sequence)/slice/array_join →
-    explode — so shingling runs inside whole-stage codegen with ZERO
-    shuffle (the earlier lead()-window formulation shuffled the whole
-    corpus by doc_id before the minhash agg even started; at 100 TB that
-    shuffle dwarfs the agg itself).  distinct() still shuffles, but on the
-    much smaller (id, shingle) projection with partial dedup map-side.
+    array_distinct → explode — so shingling runs inside whole-stage
+    codegen with ZERO shuffle (the earlier lead()-window formulation
+    shuffled the whole corpus by doc_id before the minhash agg even
+    started; at 100 TB that shuffle dwarfs the agg itself).
+
+    Dedup is per-doc ``array_distinct`` BEFORE the explode, not a global
+    ``.distinct()`` after it: the two are equivalent ((id, shingle) pairs
+    are unique across docs by construction), but the global distinct
+    shuffles the whole stream hash-partitioned by (id, shingle), which
+    destroys doc locality — every downstream groupBy(id) then gets ~zero
+    map-side reduction and re-shuffles the full stream with its agg
+    buffers attached (measured as a ~100 GB shuffle write at 10M docs:
+    one partial-agg row per (task, doc) x 33 columns).  With per-doc
+    dedup the stream stays in source order, each doc's shingles sit in
+    one input partition, and the signature/set groupBys combine down to
+    one row per doc before their shuffle.
     """
     pre = df.select(F.col(id_col), F.split(F.col(text), " ").alias("_ws"))
     grams = F.when(
@@ -69,8 +80,8 @@ def shingles(df: DataFrame, text: str = "text", id_col: str = "doc_id",
             F.sequence(F.lit(1), F.size("_ws") - (n - 1)),
             lambda i: F.array_join(F.slice(F.col("_ws"), i, n), " ")),
     ).otherwise(F.array().cast("array<string>"))
-    sh = pre.select(F.col(id_col), F.explode(grams).alias("shingle"))
-    return sh.distinct()
+    return pre.select(F.col(id_col),
+                      F.explode(F.array_distinct(grams)).alias("shingle"))
 
 
 def ngram_jaccard_pairs(df: DataFrame, threshold: float = 0.4,
