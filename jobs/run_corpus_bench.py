@@ -28,16 +28,29 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-DOCS_PATH = "/tmp/osmqt_corpus/documents"
+DOCS_PATH = "/tmp/osmqt_corpus/documents_v2"
 VECS_PATH = "/tmp/osmqt_corpus/embeddings"
 
 
 def gen_documents(spark, n: int):
     """N docs of ~40 words, all codegen (sequence/transform/concat):
-    word w of doc i = 'w' || ((i * 31 + w * 17 + i % (w + 3)) % V) with a
-    power-law-ish vocab reuse; docs with i % 10 == 9 repeat doc i - 9's
-    text exactly (exact dups); i % 20 == 7 copies i - 7 with one word
-    changed (near dup)."""
+    word w of doc i = 'w' || (xxhash64(src, w) % (10000 + 2000 * w));
+    docs with i % 10 == 9 repeat doc i - 9's text exactly (exact dups);
+    i % 20 == 7 copies i - 7 with one word changed (near dup).
+
+    Word values are hash-mixed, not a linear-congruential pattern: the v1
+    generator's (src * 31 + src % (w + 3)) % smallV words gave the corpus
+    a degenerate shingle vocabulary (~3.8M distinct bigrams across 390M
+    occurrences at 10M docs, position-clustered), so minhash argmins
+    concentrated on corpus-common shingles and band buckets reached 27k
+    docs at ANY banding — 10^8+ candidate pairs that no real corpus
+    produces (natural vocabularies give mostly doc-rare shingles, so
+    non-dup docs almost never share 10 argmins).  Hash-mixing restores
+    that: bigram pools are ~10^8, background Jaccard ~0, and candidates
+    collapse to the planted dup structure.  The v1 run remains a useful
+    adversarial datapoint: the hot-bucket caps bounded the blowup to the
+    documented O(N x cap x bands) envelope (measured 165M pairs at cap
+    200, banding (32, 4)) instead of the uncapped ~10^12."""
     from pyspark.sql import functions as F
 
     base = spark.range(n).withColumn(
@@ -50,8 +63,8 @@ def gen_documents(spark, n: int):
         lambda w: F.when(w == 0, F.lit("the")).when(w == 5, F.lit("and"))
         .otherwise(F.concat(
             F.lit("w"),
-            ((F.col("src") * 31 + w * 17 + F.col("src") % (w + 3))
-             % (100 + w * 50)).cast("string"))))
+            F.pmod(F.xxhash64(F.col("src"), w),
+                   w.cast("long") * 2000 + 10000).cast("string"))))
     # near dup: replace word 20 with a doc-unique token
     words = F.when(
         F.col("id") % 20 == 7,
@@ -120,9 +133,11 @@ def main() -> None:
                  "cpus": spark.sparkContext.defaultParallelism}
 
     def run(name, df):
+        print(f"PASS {name} start", flush=True)
         t0 = time.time()
         n = df.count()
         res[name] = {"rows": n, "sec": round(time.time() - t0, 2)}
+        print(f"PASS {name} done {res[name]}", flush=True)
         # Dedup passes cache shingle/signature intermediates internally;
         # dropping them + a JVM GC lets the ContextCleaner delete the
         # finished stage's shuffle files NOW instead of at an arbitrary
@@ -133,11 +148,25 @@ def main() -> None:
 
     run("exact_dedup_groups",
         DD.exact_dedup(docs).filter(F.col("dups") > 1))
+    # Banding sized by the S-curve, not a constant: with rows-per-band
+    # r, a pair at Jaccard J collides per band with prob J^r.  The 1M run
+    # used (32, 4) = r 8; at 10M docs that r admitted 165M candidate
+    # pairs (measured via the band-bucket histogram: J~0.5 background
+    # pairs collide at 0.4%/band and grow with corpus size), and the
+    # exact-verify attach of per-doc shingle arrays onto 165M rows was a
+    # ~100GB sort.  r=10 / 16 bands keeps planted J~0.9 recall at 99.9%
+    # (1 - (1 - 0.9^10)^16) while background J<=0.6 collision drops to
+    # 0.6%/band — candidates shrink to ~the true near-dup set.
+    mh_hashes, mh_bands = (160, 16) if args.docs > 2_000_000 else (32, 4)
     run("minhash_lsh_pairs",
-        DD.minhash_lsh_pairs(docs, num_hashes=32, bands=4,
+        DD.minhash_lsh_pairs(docs, num_hashes=mh_hashes, bands=mh_bands,
                              verify_threshold=0.6, max_bucket=200))
-    run("simhash_pairs", DD.simhash_dup_pairs(docs, bits=32, max_hamming=2,
-                                          max_bucket=500))
+    # 16-bit pigeonhole chunks (48 bits / 3): 32-bit signatures have only
+    # 1024 distinct values per 10-bit chunk, so at 10M docs every chunk
+    # bucket exceeds any sane cap and the pass degenerates to nothing.
+    sh_bits = 48 if args.docs > 2_000_000 else 32
+    run("simhash_pairs", DD.simhash_dup_pairs(docs, bits=sh_bits,
+                                          max_hamming=2, max_bucket=500))
     run("text_quality_kept",
         TX.with_quality(docs).filter(F.col("is_quality")))
     run("ann_ivf_topk",
@@ -154,10 +183,19 @@ def main() -> None:
                                       planes_per_band=ppb, bands=4,
                                       max_bucket=500))
     # planted-set recall: generators plant exact dups at docs/10 and
-    # embedding near-dup pairs at vecs/7 deterministically
+    # embedding near-dup pairs at vecs/7 deterministically.  minhash
+    # expectation: docs/10 exact pairs (J=1, every band collides) plus
+    # 2 x docs/20 near pairs at J~0.9 — each near-dup doc i (i%20==7)
+    # pairs with its source i-7 AND with i+2, the exact copy of i-7 —
+    # times the banding's S-curve recall at J=0.9 (99.9% at (160,16),
+    # ~90% at (32,4)).
+    mh_expected = args.docs // 10 + 2 * (args.docs // 20)
     res["planted"] = {
         "exact_dedup_expected": args.docs // 10,
         "exact_recall": res["exact_dedup_groups"]["rows"] == args.docs // 10,
+        "minhash_pairs_expected": mh_expected,
+        "minhash_recall": round(
+            res["minhash_lsh_pairs"]["rows"] / mh_expected, 4),
         "cosine_pairs_expected": args.vecs // 7,
         "cosine_recall": res["cosine_near_dup_lsh"]["rows"] == args.vecs // 7,
     }

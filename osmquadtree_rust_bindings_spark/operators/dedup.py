@@ -23,7 +23,18 @@ from pyspark.sql import functions as F
 # md5-hex -> 60-bit int, identical value obtainable in DuckDB via
 # cast(('0x' || substring(md5(x),1,15)) as bigint)
 WORD_HASH = "cast(conv(substring(md5({col}),1,15),16,10) as bigint)"
-MERSENNE_P = (1 << 61) - 1
+# Minhash modulus: 2^31-1, matching the domain the shingle hash is
+# reduced to.  NOT 2^61-1: with h, a < 2^31 the product a*h < 2^62 wraps
+# a 61-bit modulus at most once, so for ~85% of (shingle, hash) pairs
+# (a*h + b) mod P is order-preserving in h — every such "hash" selects
+# the same argmin shingle and the minhashes are massively correlated
+# (measured: pair recall at banding (160, 16) for J=0.90 was 0.906 where
+# the S-curve predicts 0.999; simulation of this exact hash family
+# reproduces 0.906, and 0.999 with the 31-bit modulus).  With mod 2^31-1
+# the product wraps ~2^31 times, the family behaves as independent
+# permutations, and banded recall matches theory.  Still int64-safe in
+# Spark and DuckDB: a*h + b < 2^62.
+MERSENNE_P = (1 << 31) - 1
 
 
 def drop_hot_keys(df: DataFrame, key: str, cap: int) -> DataFrame:
@@ -184,13 +195,22 @@ def minhash_lsh_pairs(df: DataFrame, num_hashes: int = 16, bands: int = 4,
     sig = minhash_signatures(df, num_hashes, text, id_col, n,
                              _shingles=sh)
     # all band keys in ONE pass: explode of an array projection instead
-    # of a bands-way union (which scanned the signature table per band)
+    # of a bands-way union (which scanned the signature table per band).
+    # The key is the 60-bit md5 hash of the band's concatenated slice,
+    # not the concat string itself: with production banding (10+ rows per
+    # band x 19-digit hashes) the string key is ~200B, and the banded
+    # stream is N x bands rows — at 10M docs the string-keyed stream was
+    # a multi-10GB shuffle where the hashed form is 16B/row.  Equal
+    # slices hash equal, so candidate semantics are unchanged (a 2^-60
+    # collision could only add a candidate, which exact verification then
+    # filters by the same rule the oracle replays).
     bucket_cols = []
     for b in range(bands):
         cols = [F.col(f"mh{b * rows + r}") for r in range(rows)]
+        concat = F.concat_ws("_", F.lit(str(b)),
+                             *[c.cast("string") for c in cols])
         bucket_cols.append(
-            F.concat_ws("_", F.lit(str(b)),
-                        *[c.cast("string") for c in cols]))
+            F.conv(F.substring(F.md5(concat), 1, 15), 16, 10).cast("long"))
     stacked = sig.select(
         F.col(id_col), F.explode(F.array(*bucket_cols)).alias("bucket")
     ).cache()  # both sides of the self-join read this one pass
