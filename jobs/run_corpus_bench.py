@@ -161,10 +161,15 @@ def main() -> None:
     run("minhash_lsh_pairs",
         DD.minhash_lsh_pairs(docs, num_hashes=mh_hashes, bands=mh_bands,
                              verify_threshold=0.6, max_bucket=200))
-    # 16-bit pigeonhole chunks (48 bits / 3): 32-bit signatures have only
-    # 1024 distinct values per 10-bit chunk, so at 10M docs every chunk
-    # bucket exceeds any sane cap and the pass degenerates to nothing.
-    sh_bits = 48 if args.docs > 2_000_000 else 32
+    # Pigeonhole chunk width must track corpus size: with hamming <= 2
+    # the signature splits into 3 chunks of bits/3, and expected bucket
+    # occupancy is N / 2^(bits/3).  32 bits -> 10-bit chunks (1024
+    # values) puts every bucket over the hot cap at 10M docs; 48 bits ->
+    # 16-bit chunks still collect ~150 docs/bucket = ~2.3B candidate
+    # pairs (measured as a disk-filling join at 10M).  60 bits (the full
+    # word-hash width) -> 20-bit chunks, ~10 docs/bucket, candidates
+    # O(N x occupancy) — the scale-honest shape.
+    sh_bits = 60 if args.docs > 2_000_000 else 32
     run("simhash_pairs", DD.simhash_dup_pairs(docs, bits=sh_bits,
                                           max_hamming=2, max_bucket=500))
     run("text_quality_kept",
