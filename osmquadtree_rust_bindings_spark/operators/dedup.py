@@ -238,13 +238,19 @@ def minhash_lsh_pairs(df: DataFrame, num_hashes: int = 16, bands: int = 4,
     # entire shingle stream a second time (measured disk-full at 10M docs
     # — the collect_set shuffle carries every shingle string with no
     # map-side reduction), while candidates reference only a fraction of
-    # the corpus.  Distinct candidate ids are bounded by 2x the hot-key-
-    # capped pair count, so the semi-join side broadcasts and the shingle
-    # stream reaches the groupBy unshuffled.
-    cand = cand.cache()  # read twice: id semi-join + final verify join
-    cand_ids = (cand.select(F.col("id_a").alias(id_col))
-                .union(cand.select(F.col("id_b").alias(id_col)))
-                .distinct())
+    # the corpus.  The candidate-id set is derived WITHOUT the pair join:
+    # a doc appears in a candidate pair iff it sits in a (hot-capped)
+    # bucket of size >= 2 — every member of such a bucket pairs with
+    # another under id_a < id_b, and every pair shares such a bucket — so
+    # one count-aggregate over the cached band stream yields exactly the
+    # ids the verify join will touch, keeping the broadcast branch
+    # shallow (no second self-join + pair distinct) at any scale.  The id
+    # set is bounded by the capped pair count x 2, so it broadcasts, and
+    # the shingle stream reaches the set groupBy unshuffled.
+    multi = (stacked.groupBy("bucket").agg(F.count(F.lit(1)).alias("__m"))
+             .filter(F.col("__m") >= 2).select("bucket"))
+    cand_ids = (stacked.join(F.broadcast(multi), "bucket", "left_semi")
+                .select(id_col).distinct())
     sets = (sh.join(F.broadcast(cand_ids), id_col, "left_semi")
             .groupBy(id_col).agg(F.collect_set("shingle").alias("__ss")))
     sa = sets.select(F.col(id_col).alias("id_a"), F.col("__ss").alias("__sa"))
