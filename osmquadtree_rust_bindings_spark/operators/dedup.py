@@ -84,15 +84,24 @@ def shingles(df: DataFrame, text: str = "text", id_col: str = "doc_id",
     one input partition, and the signature/set groupBys combine down to
     one row per doc before their shuffle.
     """
-    pre = df.select(F.col(id_col), F.split(F.col(text), " ").alias("_ws"))
+    return df.select(
+        F.col(id_col),
+        F.explode(gram_set_col(F.col(text), n)).alias("shingle"))
+
+
+def gram_set_col(text_col, n: int = 2):
+    """The per-doc distinct word-n-gram set as an array Column — the
+    shared building block of :func:`shingles` (explode of it) and the
+    verify-stage set build (used directly, no explode + collect_set round
+    trip)."""
+    ws = F.split(text_col, " ")
     grams = F.when(
-        F.size("_ws") >= n,
+        F.size(ws) >= n,
         F.transform(
-            F.sequence(F.lit(1), F.size("_ws") - (n - 1)),
-            lambda i: F.array_join(F.slice(F.col("_ws"), i, n), " ")),
+            F.sequence(F.lit(1), F.size(ws) - (n - 1)),
+            lambda i: F.array_join(F.slice(ws, i, n), " ")),
     ).otherwise(F.array().cast("array<string>"))
-    return pre.select(F.col(id_col),
-                      F.explode(F.array_distinct(grams)).alias("shingle"))
+    return F.array_distinct(grams)
 
 
 def ngram_jaccard_pairs(df: DataFrame, threshold: float = 0.4,
@@ -174,10 +183,81 @@ def minhash_signatures(df: DataFrame, num_hashes: int = 16,
     return sh.groupBy(id_col).agg(*aggs)
 
 
+def _minhash_band_keys_arrow(df: DataFrame, num_hashes: int, bands: int,
+                             text: str, id_col: str, n: int) -> DataFrame:
+    """One Arrow pass per doc: text -> distinct n-gram shingles -> md5
+    word hashes -> ``num_hashes`` universal-hash minima -> ``bands``
+    md5-hashed band keys.  Bit-identical to the exploded-stream
+    formulation (same md5-hex-15 word hash, same (h*a+b) mod M minima,
+    same '{band}_{mh}_{mh}...' key strings hashed the same way), but with
+    ZERO shuffle before the candidate join: the legacy groupBy over the
+    exploded shingle stream wrote a 13 GB signature shuffle with 11.6 GB
+    of hash-agg spill at 10M docs.  Docs with no shingles emit no row
+    (they have no signature, matching the groupBy form).
+    Output: (id_col, bkeys array<long>)."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import ArrayType, LongType, StructField, StructType
+
+    rows = num_hashes // bands
+    params = _hash_params(num_hashes)
+    A = np.array([a for a, _ in params], dtype=np.int64)
+    B = np.array([b for _, b in params], dtype=np.int64)
+    M = 2147483647
+    schema = StructType([df.schema[id_col],
+                         StructField("bkeys", ArrayType(LongType(), False),
+                                     False)])
+    # chunk so the (hashes x num_hashes) int64 intermediate stays small
+    max_h = max(1, (48 << 20) // (8 * num_hashes))
+
+    def keys_fn(batches):
+        for pdf in batches:
+            ids_all, hs_all, offs = [], [], [0]
+            for i, t in zip(pdf[id_col], pdf[text]):
+                wsl = t.split(" ")
+                if len(wsl) < n:
+                    continue
+                gr = dict.fromkeys(
+                    " ".join(wsl[j:j + n]) for j in range(len(wsl) - n + 1))
+                hs = [int(hashlib.md5(g.encode("utf-8")).hexdigest()[:15],
+                          16) % M for g in gr]
+                ids_all.append(i)
+                hs_all.extend(hs)
+                offs.append(len(hs_all))
+            if not ids_all:
+                continue
+            H = np.array(hs_all, dtype=np.int64)
+            starts = np.array(offs[:-1])
+            mins = np.empty((len(ids_all), num_hashes), dtype=np.int64)
+            lo = 0
+            while lo < len(starts):
+                hi = lo
+                while hi < len(starts) and offs[hi + 1] - offs[lo] <= max_h:
+                    hi += 1
+                hi = max(hi, lo + 1)
+                P = (H[offs[lo]:offs[hi], None] * A + B) % M
+                mins[lo:hi] = np.minimum.reduceat(
+                    P, starts[lo:hi] - offs[lo], axis=0)
+                lo = hi
+            keys = np.empty((len(ids_all), bands), dtype=np.int64)
+            for d in range(len(ids_all)):
+                for b in range(bands):
+                    s = (str(b) + "_"
+                         + "_".join(map(str, mins[d, b*rows:(b+1)*rows])))
+                    keys[d, b] = int(
+                        hashlib.md5(s.encode("utf-8")).hexdigest()[:15], 16)
+            yield pd.DataFrame({id_col: ids_all, "bkeys": list(keys)})
+
+    return df.mapInPandas(keys_fn, schema)
+
+
 def minhash_lsh_pairs(df: DataFrame, num_hashes: int = 16, bands: int = 4,
                       text: str = "text", id_col: str = "doc_id",
                       n: int = 2, verify_threshold: float | None = 0.4,
-                      max_bucket: int | None = None) -> DataFrame:
+                      max_bucket: int | None = None,
+                      arrow: bool | None = None) -> DataFrame:
     """LSH candidate pairs: docs sharing any band bucket.  Buckets are the
     concatenated band slice of the signature (portable string key).  With
     verify_threshold set, candidates are verified with true Jaccard via the
@@ -189,14 +269,17 @@ def minhash_lsh_pairs(df: DataFrame, num_hashes: int = 16, bands: int = 4,
     pairs on a 1M-doc synthetic corpus — verification then dominates).
     ``max_bucket`` is the hot-bucket guard (same as SimHash / banded-LSH):
     band keys holding more than the cap are dropped before the self-join,
-    bounding candidates at O(N x cap x bands)."""
+    bounding candidates at O(N x cap x bands).
+
+    ``arrow`` (default True) computes the per-doc band keys in one Arrow
+    kernel (:func:`_minhash_band_keys_arrow`) — bit-identical values,
+    zero shuffle before the candidate join; ``arrow=False`` keeps the
+    exploded-stream groupBy formulation the SQL oracle replays verbatim
+    (same output either way)."""
     rows = num_hashes // bands
-    sh = shingles(df, text, id_col, n).cache()
-    sig = minhash_signatures(df, num_hashes, text, id_col, n,
-                             _shingles=sh)
-    # all band keys in ONE pass: explode of an array projection instead
-    # of a bands-way union (which scanned the signature table per band).
-    # The key is the 60-bit md5 hash of the band's concatenated slice,
+    if arrow is None:
+        arrow = True
+    # Band keys are the 60-bit md5 hash of the band's concatenated slice,
     # not the concat string itself: with production banding (10+ rows per
     # band x 19-digit hashes) the string key is ~200B, and the banded
     # stream is N x bands rows — at 10M docs the string-keyed stream was
@@ -204,16 +287,30 @@ def minhash_lsh_pairs(df: DataFrame, num_hashes: int = 16, bands: int = 4,
     # slices hash equal, so candidate semantics are unchanged (a 2^-60
     # collision could only add a candidate, which exact verification then
     # filters by the same rule the oracle replays).
-    bucket_cols = []
-    for b in range(bands):
-        cols = [F.col(f"mh{b * rows + r}") for r in range(rows)]
-        concat = F.concat_ws("_", F.lit(str(b)),
-                             *[c.cast("string") for c in cols])
-        bucket_cols.append(
-            F.conv(F.substring(F.md5(concat), 1, 15), 16, 10).cast("long"))
-    stacked = sig.select(
-        F.col(id_col), F.explode(F.array(*bucket_cols)).alias("bucket")
-    ).cache()  # both sides of the self-join read this one pass
+    if arrow:
+        keyed = _minhash_band_keys_arrow(df, num_hashes, bands, text,
+                                         id_col, n)
+        stacked = keyed.select(
+            F.col(id_col), F.explode("bkeys").alias("bucket")
+        ).cache()  # both sides of the self-join read this one pass
+    else:
+        sh = shingles(df, text, id_col, n).cache()
+        sig = minhash_signatures(df, num_hashes, text, id_col, n,
+                                 _shingles=sh)
+        # all band keys in ONE pass: explode of an array projection
+        # instead of a bands-way union (which scanned the signature
+        # table per band)
+        bucket_cols = []
+        for b in range(bands):
+            cols = [F.col(f"mh{b * rows + r}") for r in range(rows)]
+            concat = F.concat_ws("_", F.lit(str(b)),
+                                 *[c.cast("string") for c in cols])
+            bucket_cols.append(
+                F.conv(F.substring(F.md5(concat), 1, 15), 16, 10)
+                .cast("long"))
+        stacked = sig.select(
+            F.col(id_col), F.explode(F.array(*bucket_cols)).alias("bucket")
+        ).cache()
     if max_bucket is not None:
         stacked = drop_hot_keys(stacked, "bucket", max_bucket)
     a = stacked.select(F.col(id_col).alias("id_a"), "bucket")
@@ -251,8 +348,17 @@ def minhash_lsh_pairs(df: DataFrame, num_hashes: int = 16, bands: int = 4,
              .filter(F.col("__m") >= 2).select("bucket"))
     cand_ids = (stacked.join(F.broadcast(multi), "bucket", "left_semi")
                 .select(id_col).distinct())
-    sets = (sh.join(F.broadcast(cand_ids), id_col, "left_semi")
-            .groupBy(id_col).agg(F.collect_set("shingle").alias("__ss")))
+    if arrow:
+        # the set is computable per doc straight from the text (same
+        # gram_set_col the shingle stream explodes) — no explode +
+        # collect_set round trip at all, just a projection over the
+        # semi-joined docs
+        sets = (df.join(F.broadcast(cand_ids), id_col, "left_semi")
+                .select(F.col(id_col),
+                        gram_set_col(F.col(text), n).alias("__ss")))
+    else:
+        sets = (sh.join(F.broadcast(cand_ids), id_col, "left_semi")
+                .groupBy(id_col).agg(F.collect_set("shingle").alias("__ss")))
     sa = sets.select(F.col(id_col).alias("id_a"), F.col("__ss").alias("__sa"))
     sb = sets.select(F.col(id_col).alias("id_b"), F.col("__ss").alias("__sb"))
     thr_num = int(round(verify_threshold * 1000))
