@@ -78,3 +78,17 @@ def test_simhash_max_bucket_cap(spark):
     got = {(r.id_a, r.id_b) for r in capped.collect()}
     assert (100, 101) in got
     assert len(got) < 40
+
+
+def test_minhash_arrow_equals_legacy(spark):
+    # the Arrow band-key kernel must be BIT-identical to the
+    # exploded-stream groupBy form the SQL oracle replays: same md5
+    # word hashes, same (h*a+b) mod M minima, same hashed band keys —
+    # so both verified-pair outputs (inter/union included) match exactly
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    kw = dict(num_hashes=8, bands=4, verify_threshold=0.2)
+    a = sorted(map(tuple, DD.minhash_lsh_pairs(docs, arrow=True,
+                                               **kw).collect()))
+    b = sorted(map(tuple, DD.minhash_lsh_pairs(docs, arrow=False,
+                                               **kw).collect()))
+    assert a == b and len(a) > 0
