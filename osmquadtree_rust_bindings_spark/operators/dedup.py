@@ -36,6 +36,47 @@ WORD_HASH = "cast(conv(substring(md5({col}),1,15),16,10) as bigint)"
 # Spark and DuckDB: a*h + b < 2^62.
 MERSENNE_P = (1 << 31) - 1
 
+# Crossover for the Arrow band-key kernel vs the exploded-SQL form
+# (minhash_lsh_pairs arrow=None).  Measured on local[32], identical
+# outputs at every point: 5k docs/0.6MB legacy 1.4s vs arrow 3.3s;
+# 100k docs/17MB legacy 13.0s vs arrow 15.1s; 1M docs/169MB legacy
+# 29.2s vs arrow 23.8s; 10M docs legacy 367s vs arrow 265s.  Below the
+# crossover the per-shingle Python md5 dominates and the shuffle the
+# kernel removes is trivial; above it the 13GB-at-10M-docs signature
+# shuffle dominates.  64MB splits the measured points with margin.
+ARROW_MIN_BYTES = 64 << 20
+
+
+def _plan_size_bytes(df: DataFrame) -> int | None:
+    """Catalyst's size estimate for ``df`` (parquet file bytes reach this
+    through the relation stats).  None when the estimate is unavailable —
+    callers must then pick the scale-safe branch."""
+    try:
+        return int(str(
+            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()))
+    except Exception:
+        return None
+
+
+def _spread_small(df: DataFrame) -> DataFrame:
+    """Fan a small input across the cluster before the shingle projection.
+
+    The gram-set expression is built on ``transform``/``array_join`` —
+    higher-order functions are evaluated interpreted (excluded from
+    whole-stage codegen), ~5µs per gram — and a small corpus often arrives
+    as ONE parquet file = ONE partition (maxPartitionBytes never splits a
+    sub-128MB file), so the whole projection runs on a single core
+    (measured 2.9s for 270k grams on local[32]; 0.4s after the spread).
+    Only fires when the input has fewer partitions than the cluster has
+    slots AND is small enough for the round-robin shuffle to be noise; a
+    corpus at scale already has >= slots partitions and is untouched."""
+    sc = df.sparkSession.sparkContext
+    p = sc.defaultParallelism
+    if ((_plan_size_bytes(df) or ARROW_MIN_BYTES) < ARROW_MIN_BYTES
+            and df.rdd.getNumPartitions() < p):
+        return df.repartition(p)
+    return df
+
 
 def drop_hot_keys(df: DataFrame, key: str, cap: int) -> DataFrame:
     """The shared hot-key guard for every candidate generator (ngram
@@ -126,6 +167,7 @@ def ngram_jaccard_pairs(df: DataFrame, threshold: float = 0.4,
     Jaccard is then computed on the capped shingle space (sizes AND
     intersections) — deterministic and replayable in SQL.
     """
+    df = _spread_small(df)
     sh = shingles(df, text, id_col, n)
     if max_df is not None:
         sh = drop_hot_keys(sh, "shingle", max_df)
@@ -216,6 +258,8 @@ def _minhash_band_keys_arrow(df: DataFrame, num_hashes: int, bands: int,
         for pdf in batches:
             ids_all, hs_all, offs = [], [], [0]
             for i, t in zip(pdf[id_col], pdf[text]):
+                if t is None:
+                    continue  # legacy form: null text -> empty gram set
                 wsl = t.split(" ")
                 if len(wsl) < n:
                     continue
@@ -271,14 +315,27 @@ def minhash_lsh_pairs(df: DataFrame, num_hashes: int = 16, bands: int = 4,
     band keys holding more than the cap are dropped before the self-join,
     bounding candidates at O(N x cap x bands).
 
-    ``arrow`` (default True) computes the per-doc band keys in one Arrow
-    kernel (:func:`_minhash_band_keys_arrow`) — bit-identical values,
-    zero shuffle before the candidate join; ``arrow=False`` keeps the
+    ``arrow=True`` computes the per-doc band keys in one Arrow kernel
+    (:func:`_minhash_band_keys_arrow`) — bit-identical values, zero
+    shuffle before the candidate join; ``arrow=False`` keeps the
     exploded-stream groupBy formulation the SQL oracle replays verbatim
-    (same output either way)."""
+    (same output either way).  The default (``None``) picks by input
+    size: legacy below ``ARROW_MIN_BYTES`` (the kernel's Python md5 cost
+    dominates small inputs), Arrow above it (the shuffle it removes
+    dominates large ones) — measurements at the constant's definition."""
     rows = num_hashes // bands
+    # scale-safe when the estimate is unknown: treat as big
+    big = (_plan_size_bytes(df) or ARROW_MIN_BYTES) >= ARROW_MIN_BYTES
+    if not big:
+        df = _spread_small(df)  # single-file inputs: use every core
     if arrow is None:
-        arrow = True
+        # size-adaptive: the Arrow kernel pays per-shingle Python md5 to
+        # remove the signature shuffle — a win only once the input is big
+        # enough for that shuffle to matter (measured crossover at
+        # ARROW_MIN_BYTES; scale-safe default when stats are unknown,
+        # since an unknown estimate means Catalyst saw no file relation
+        # and reports Long.Max anyway)
+        arrow = big
     # Band keys are the 60-bit md5 hash of the band's concatenated slice,
     # not the concat string itself: with production banding (10+ rows per
     # band x 19-digit hashes) the string key is ~200B, and the banded
@@ -291,12 +348,11 @@ def minhash_lsh_pairs(df: DataFrame, num_hashes: int = 16, bands: int = 4,
         keyed = _minhash_band_keys_arrow(df, num_hashes, bands, text,
                                          id_col, n)
         stacked = keyed.select(
-            F.col(id_col), F.explode("bkeys").alias("bucket")
-        ).cache()  # both sides of the self-join read this one pass
+            F.col(id_col), F.explode("bkeys").alias("bucket"))
     else:
-        sh = shingles(df, text, id_col, n).cache()
-        sig = minhash_signatures(df, num_hashes, text, id_col, n,
-                                 _shingles=sh)
+        # no cache: the signature agg is the stream's only consumer now
+        # that the verify sets are a direct per-doc projection below
+        sig = minhash_signatures(df, num_hashes, text, id_col, n)
         # all band keys in ONE pass: explode of an array projection
         # instead of a bands-way union (which scanned the signature
         # table per band)
@@ -309,8 +365,12 @@ def minhash_lsh_pairs(df: DataFrame, num_hashes: int = 16, bands: int = 4,
                 F.conv(F.substring(F.md5(concat), 1, 15), 16, 10)
                 .cast("long"))
         stacked = sig.select(
-            F.col(id_col), F.explode(F.array(*bucket_cols)).alias("bucket")
-        ).cache()
+            F.col(id_col), F.explode(F.array(*bucket_cols)).alias("bucket"))
+    if big:
+        # both self-join sides + the candidate-id restriction read this
+        # one pass; below the threshold recomputation is cheaper than the
+        # cache-materialization barrier (one fewer sequential job)
+        stacked = stacked.cache()
     if max_bucket is not None:
         stacked = drop_hot_keys(stacked, "bucket", max_bucket)
     a = stacked.select(F.col(id_col).alias("id_a"), "bucket")
@@ -344,21 +404,27 @@ def minhash_lsh_pairs(df: DataFrame, num_hashes: int = 16, bands: int = 4,
     # shallow (no second self-join + pair distinct) at any scale.  The id
     # set is bounded by the capped pair count x 2, so it broadcasts, and
     # the shingle stream reaches the set groupBy unshuffled.
-    multi = (stacked.groupBy("bucket").agg(F.count(F.lit(1)).alias("__m"))
-             .filter(F.col("__m") >= 2).select("bucket"))
-    cand_ids = (stacked.join(F.broadcast(multi), "bucket", "left_semi")
-                .select(id_col).distinct())
-    if arrow:
-        # the set is computable per doc straight from the text (same
-        # gram_set_col the shingle stream explodes) — no explode +
-        # collect_set round trip at all, just a projection over the
-        # semi-joined docs
-        sets = (df.join(F.broadcast(cand_ids), id_col, "left_semi")
-                .select(F.col(id_col),
-                        gram_set_col(F.col(text), n).alias("__ss")))
+    # the set is computable per doc straight from the text (same
+    # gram_set_col the shingle stream explodes) — no explode +
+    # collect_set round trip at all, just a projection.  Shared by both
+    # branches: it removes the legacy form's collect_set shuffle AND the
+    # cache whose only remaining consumer that shuffle was (identical
+    # sets either way — collect_set of the exploded distinct grams IS
+    # the distinct gram array).  Below the size threshold the candidate
+    # restriction itself is skipped: its two sequential broadcast jobs
+    # cost more than projecting every doc's gram set, and non-candidate
+    # set rows simply never match the verify join.
+    if big:
+        multi = (stacked.groupBy("bucket")
+                 .agg(F.count(F.lit(1)).alias("__m"))
+                 .filter(F.col("__m") >= 2).select("bucket"))
+        cand_ids = (stacked.join(F.broadcast(multi), "bucket", "left_semi")
+                    .select(id_col).distinct())
+        sets = df.join(F.broadcast(cand_ids), id_col, "left_semi")
     else:
-        sets = (sh.join(F.broadcast(cand_ids), id_col, "left_semi")
-                .groupBy(id_col).agg(F.collect_set("shingle").alias("__ss")))
+        sets = df
+    sets = sets.select(F.col(id_col),
+                       gram_set_col(F.col(text), n).alias("__ss"))
     sa = sets.select(F.col(id_col).alias("id_a"), F.col("__ss").alias("__sa"))
     sb = sets.select(F.col(id_col).alias("id_b"), F.col("__ss").alias("__sb"))
     thr_num = int(round(verify_threshold * 1000))

@@ -86,9 +86,28 @@ def test_minhash_arrow_equals_legacy(spark):
     # word hashes, same (h*a+b) mod M minima, same hashed band keys —
     # so both verified-pair outputs (inter/union included) match exactly
     docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    # a null-text doc must be dropped identically by both forms (the
+    # legacy gram set is empty for NULL; the kernel skips the row)
+    null_row = spark.range(1).select(
+        F.lit(999999).cast("long").alias("doc_id"),
+        *[F.lit(None).cast(docs.schema[c].dataType).alias(c)
+          for c in docs.columns if c != "doc_id"])
+    docs = docs.unionByName(null_row.select(*docs.columns))
     kw = dict(num_hashes=8, bands=4, verify_threshold=0.2)
     a = sorted(map(tuple, DD.minhash_lsh_pairs(docs, arrow=True,
                                                **kw).collect()))
     b = sorted(map(tuple, DD.minhash_lsh_pairs(docs, arrow=False,
                                                **kw).collect()))
     assert a == b and len(a) > 0
+
+
+def test_minhash_default_is_size_adaptive(spark):
+    # arrow=None resolves by Catalyst's size estimate: the sf0.01 table
+    # is far below ARROW_MIN_BYTES so the default must pick the legacy
+    # exploded-stream plan (no mapInPandas / ArrowEvalPython node), while
+    # a stats-free in-memory frame must pick the scale-safe Arrow branch
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    small = DD.minhash_lsh_pairs(docs, num_hashes=8, bands=4,
+                                 verify_threshold=None)
+    assert "mapInPandas" not in small._jdf.queryExecution().analyzed().toString()
+    assert (DD._plan_size_bytes(docs) or 0) < DD.ARROW_MIN_BYTES
