@@ -177,8 +177,17 @@ def main() -> None:
     # word-hash width) -> 20-bit chunks, ~10 docs/bucket, candidates
     # O(N x occupancy) — the scale-honest shape.
     sh_bits = 60 if args.docs > 2_000_000 else 32
+    # Chunk COUNT must also track corpus size, not just signature width:
+    # 60 bits is the word-hash ceiling, so beyond ~10M docs the 3-chunk
+    # 20-bit buckets double occupancy with every corpus doubling
+    # (measured: 94s at 10M -> 618s + 43 GB join spill at 20M for ~570M
+    # background candidates).  chunks=4 switches to the multi-index
+    # pigeonhole (6 two-chunk 30-bit keys/doc): occupancy N/2^30,
+    # identical verified pairs.
+    sh_chunks = 4 if args.docs > 10_000_000 else None
     run("simhash_pairs", DD.simhash_dup_pairs(docs, bits=sh_bits,
-                                          max_hamming=2, max_bucket=500))
+                                          max_hamming=2, max_bucket=500,
+                                          chunks=sh_chunks))
     run("text_quality_kept",
         TX.with_quality(docs).filter(F.col("is_quality")))
     run("ann_ivf_topk",

@@ -461,11 +461,26 @@ def simhash_signatures(df: DataFrame, bits: int = 16, text: str = "text",
 
 def simhash_dup_pairs(df: DataFrame, bits: int = 16, max_hamming: int = 2,
                       text: str = "text", id_col: str = "doc_id",
-                      max_bucket: int | None = None) -> DataFrame:
-    """Near-dup pairs by SimHash: band the signature into (max_hamming+1)
-    chunks (pigeonhole: any pair within hamming distance shares >= 1 exact
-    chunk), join on chunk, verify hamming via bit_count.
-    Output: (id_a, id_b, hamming).
+                      max_bucket: int | None = None,
+                      chunks: int | None = None) -> DataFrame:
+    """Near-dup pairs by SimHash: band the signature into ``chunks`` pieces
+    (default max_hamming+1) and equi-join on chunk-combination keys, verify
+    hamming via bit_count.  Output: (id_a, id_b, hamming).
+
+    Pigeonhole with k chunks: <= max_hamming differing bits hit <=
+    max_hamming chunks, so >= k - max_hamming chunks match exactly — every
+    qualifying pair shares one of the C(k, k - max_hamming) combination
+    keys.  With the default k = max_hamming + 1 the combinations are the
+    single chunks (the classic form, and byte-identical key strings to
+    the pre-``chunks`` version of this function).  k ABOVE the minimum is
+    the multi-index form (Manku et al., WWW'07): key width grows from
+    bits/k to (k-h)·bits/k, so bucket occupancy falls from N/2^(bits/k)
+    to N/2^((k-h)·bits/k) at the cost of C(k, k-h) keys per doc.  The
+    occupancy term is what goes super-linear on a growing corpus: at 20M
+    docs / 60-bit signatures the 3-chunk form (20-bit buckets, ~19
+    docs/bucket) emitted ~570M candidate rows = 43 GB of join spill for
+    2.5M real pairs, where 4 chunks / 6 pair-keys (30-bit buckets,
+    occupancy ~0.02) emit ~no background candidates at all.
 
     ``max_bucket`` is the hot-chunk guard (same rationale as the ngram
     hot-shingle cap and the LSH max_bucket): a chunk value shared by f
@@ -473,15 +488,23 @@ def simhash_dup_pairs(df: DataFrame, bits: int = 16, max_hamming: int = 2,
     the self-join, bounding candidates at O(N * max_bucket * chunks) at
     the cost of the pigeonhole guarantee for pairs inside dropped chunks
     (which carry ~no selectivity anyway)."""
+    from itertools import combinations
+
     sig = simhash_signatures(df, bits, text, id_col).cache()
-    chunks = max_hamming + 1
-    step = bits // chunks
+    k = chunks if chunks is not None else max_hamming + 1
+    if k <= max_hamming:
+        raise ValueError(f"chunks={k} must exceed max_hamming={max_hamming}")
+    step = bits // k
+
+    def chunk_val(c: int):
+        return (F.col("simhash")
+                .bitwiseAND(F.lit(((1 << step) - 1) << (c * step)))
+                .cast("string"))
+
+    combos = list(combinations(range(k), k - max_hamming))
     chunk_cols = [
-        F.concat_ws("_", F.lit(str(c)),
-                    F.col("simhash")
-                    .bitwiseAND(F.lit(((1 << step) - 1) << (c * step)))
-                    .cast("string"))
-        for c in range(chunks)
+        F.concat_ws("_", F.lit(str(ci)), *[chunk_val(c) for c in combo])
+        for ci, combo in enumerate(combos)
     ]
     # one pass: explode of the chunk-key array instead of a chunks-way
     # union over the cached signature table

@@ -80,6 +80,21 @@ def test_simhash_max_bucket_cap(spark):
     assert len(got) < 40
 
 
+def test_simhash_multi_index_equals_classic(spark):
+    # the multi-index pigeonhole (chunks=4 -> C(4,2)=6 two-chunk keys)
+    # must produce the IDENTICAL verified-pair set as the classic
+    # 3-chunk form: both candidate schemes are complete for
+    # hamming <= max_hamming and verification is exact either way
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    kw = dict(bits=60, max_hamming=2)
+    classic = sorted(map(tuple,
+                         DD.simhash_dup_pairs(docs, **kw).collect()))
+    multi = sorted(map(tuple,
+                       DD.simhash_dup_pairs(docs, chunks=4,
+                                            **kw).collect()))
+    assert classic == multi and len(classic) > 0
+
+
 def test_minhash_arrow_equals_legacy(spark):
     # the Arrow band-key kernel must be BIT-identical to the
     # exploded-stream groupBy form the SQL oracle replays: same md5
