@@ -124,6 +124,16 @@ def main() -> None:
     # stream; uncompressed disk-spilled cache blocks + two concurrent
     # full-width shuffles overran a 59GB /tmp (measured).  Compressing
     # cached blocks keeps the soak inside commodity local-disk headroom.
+    #
+    # Heap must track the working set: the session default (16g, fastest
+    # for the sf0.1 bench) thrashes once a pass caches a few-GB band
+    # stream and shuffles alongside it — the 20M-doc minhash pass ran
+    # 870s at 16g vs 516s at 48g with identical output (the 516s figure
+    # is 1.95x the 10M pass: linear, so the 16g slowdown was pure GC).
+    # On a real cluster this is per-executor memory sizing; respect an
+    # explicit override.
+    if args.docs >= 10_000_000 and "SPARK_DRIVER_MEM" not in os.environ:
+        os.environ["SPARK_DRIVER_MEM"] = "48g"
     spark = get_spark(extra_conf={"spark.rdd.compress": "true"})
     spark.sparkContext.setLogLevel("ERROR")
 
