@@ -67,13 +67,13 @@ def _spread_small(df: DataFrame) -> DataFrame:
     as ONE parquet file = ONE partition (maxPartitionBytes never splits a
     sub-128MB file), so the whole projection runs on a single core
     (measured 2.9s for 270k grams on local[32]; 0.4s after the spread).
-    Only fires when the input has fewer partitions than the cluster has
-    slots AND is small enough for the round-robin shuffle to be noise; a
-    corpus at scale already has >= slots partitions and is untouched."""
+    Only fires when the input is small enough for the round-robin
+    shuffle to be noise (sub-ARROW_MIN_BYTES — at worst a pointless
+    <64MB shuffle when the input is already well-partitioned); a corpus
+    at scale is untouched."""
     sc = df.sparkSession.sparkContext
     p = sc.defaultParallelism
-    if ((_plan_size_bytes(df) or ARROW_MIN_BYTES) < ARROW_MIN_BYTES
-            and df.rdd.getNumPartitions() < p):
+    if (_plan_size_bytes(df) or ARROW_MIN_BYTES) < ARROW_MIN_BYTES:
         return df.repartition(p)
     return df
 
