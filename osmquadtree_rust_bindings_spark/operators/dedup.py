@@ -471,8 +471,9 @@ def simhash_dup_pairs(df: DataFrame, bits: int = 16, max_hamming: int = 2,
     max_hamming chunks, so >= k - max_hamming chunks match exactly — every
     qualifying pair shares one of the C(k, k - max_hamming) combination
     keys.  With the default k = max_hamming + 1 the combinations are the
-    single chunks (the classic form, and byte-identical key strings to
-    the pre-``chunks`` version of this function).  k ABOVE the minimum is
+    single chunks (the classic form; keys are xxhash64 of the same
+    (combo, masked-chunk) tuples the pre-``chunks`` version keyed as
+    strings — identical candidate semantics).  k ABOVE the minimum is
     the multi-index form (Manku et al., WWW'07): key width grows from
     bits/k to (k-h)·bits/k, so bucket occupancy falls from N/2^(bits/k)
     to N/2^((k-h)·bits/k) at the cost of C(k, k-h) keys per doc.  The
@@ -490,6 +491,14 @@ def simhash_dup_pairs(df: DataFrame, bits: int = 16, max_hamming: int = 2,
     (which carry ~no selectivity anyway)."""
     from itertools import combinations
 
+    # NOTE (measured negative result, 40M docs): unlike minhash, the
+    # signature agg here is NOT worth replacing with a row-local Arrow
+    # kernel.  The exploded groupBy's 60 int sums map-side-combine to
+    # ONE row per doc per task before the shuffle (17s at 40M docs),
+    # while a per-doc Python-md5 kernel pays for every token (296s at
+    # 40M even with per-batch distinct-word memoization).  The minhash
+    # kernel wins there because its 160-column signature shuffle has no
+    # such reduction and md5 is per distinct shingle, not per token.
     sig = simhash_signatures(df, bits, text, id_col).cache()
     k = chunks if chunks is not None else max_hamming + 1
     if k <= max_hamming:
@@ -497,13 +506,20 @@ def simhash_dup_pairs(df: DataFrame, bits: int = 16, max_hamming: int = 2,
     step = bits // k
 
     def chunk_val(c: int):
-        return (F.col("simhash")
-                .bitwiseAND(F.lit(((1 << step) - 1) << (c * step)))
-                .cast("string"))
+        return F.col("simhash").bitwiseAND(
+            F.lit(((1 << step) - 1) << (c * step)))
 
+    # 8-byte xxhash64 keys, not concat strings: the banded stream is
+    # N x C(k, k-h) rows and a two-chunk string key is ~45B — 11 GB at
+    # 40M docs, shuffled three times (hot-key agg + both self-join
+    # sides) — where the hashed key is 8B.  Equal (combo, chunk values)
+    # tuples hash equal, so candidate semantics are unchanged; a 2^-64
+    # collision could only ADD a candidate, which the exact hamming
+    # verification then filters.  Same rationale as the minhash band-key
+    # hashing.
     combos = list(combinations(range(k), k - max_hamming))
     chunk_cols = [
-        F.concat_ws("_", F.lit(str(ci)), *[chunk_val(c) for c in combo])
+        F.xxhash64(F.lit(ci), *[chunk_val(c) for c in combo])
         for ci, combo in enumerate(combos)
     ]
     # one pass: explode of the chunk-key array instead of a chunks-way
