@@ -149,6 +149,18 @@ def main() -> None:
     res: dict = {"docs": args.docs, "vecs": args.vecs,
                  "cpus": spark.sparkContext.defaultParallelism}
 
+    def _scratch_bytes():
+        import glob
+        tot = 0
+        for d in glob.glob("/tmp/blockmgr-*") + glob.glob("/tmp/spark-*"):
+            for root, _dirs, files in os.walk(d):
+                for f in files:
+                    try:
+                        tot += os.path.getsize(os.path.join(root, f))
+                    except OSError:
+                        pass
+        return tot
+
     def run(name, df):
         print(f"PASS {name} start", flush=True)
         t0 = time.time()
@@ -161,6 +173,22 @@ def main() -> None:
         # later GC — without this, consecutive 10M-doc passes stack
         # ~3 suites of shuffle temp and overran a 59GB /tmp (measured).
         spark.catalog.clearCache()
+        spark.sparkContext._jvm.System.gc()
+        # ...and WAIT for the deletions to finish before the next pass
+        # starts its clock: the ContextCleaner unlinks asynchronously, so
+        # without this barrier ~30 GB of the previous pass's shuffle
+        # files are being deleted (and the page cache churned) WHILE the
+        # next pass shuffles — measured 299s for the 20M simhash pass
+        # mid-suite vs 81.5s standalone, same code and outputs.  Poll
+        # scratch size until stable (cleanup I/O attributes to the gap
+        # between passes, where it belongs).
+        prev = _scratch_bytes()
+        for _ in range(40):
+            time.sleep(3)
+            cur = _scratch_bytes()
+            if cur >= prev:
+                break
+            prev = cur
         spark.sparkContext._jvm.System.gc()
 
     run("exact_dedup_groups",
