@@ -21,7 +21,12 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 # per-operator names kept stable across rounds for comparability — some
 # are merged gates in queries() now, so bench resolves them from
-# driver_queries directly (q_<name>), falling back to the gate registry
+# driver_queries directly (q_<name>), falling back to the gate registry.
+# Two names therefore differ from their CORRECTNESS gate keys on purpose:
+#   ann_l2_topk  -> gate ann_brute_topk (gate merged L2+cosine; bench
+#                   times the per-operator q_ann_l2_topk)
+#   text_quality -> gate text_analysis (gate merged quality+langid+
+#                   fingerprint+tokens; bench times q_text_quality)
 HEADLINE = [
     "x1_point_qt",          # tile assignments (calc_qts point keys)
     "x2_bbox_qt_depth_hist",  # bbox calc_qts

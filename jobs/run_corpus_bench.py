@@ -12,10 +12,26 @@ their shuffle structure, not constant overhead, dominates:
 - embeddings: M vectors, dim 64, deterministic integer pattern with
   planted near-duplicate pairs.
 
-Prints one JSON line with wall times + output row counts, and appends
-nothing — BENCH/corpus.json is written by the caller redirect if wanted.
+Execution shape: ONE spark-submit --py-files JVM PER STAGE (the
+production deployment shape — each stage gets a fresh heap sized to its
+own working set).  The shared-JVM form this replaced produced measured
+2-3x swings on identical code (old-gen aging + the previous pass's async
+shuffle-file deletion landing inside the next pass's clock: simhash 81.5s
+standalone vs 299-349s mid-suite at 20M docs) and forced a one-size heap
+that helped minhash (~2x) while costing simhash ~2x.  `--shared-jvm`
+keeps the old in-process mode for A/B measurement.
+
+Per-stage heap (the working-set story, measured at 20M docs):
+- minhash caches the N x bands band stream and shuffles alongside it:
+  870s at 16g vs 516s at 48g, identical output — pure GC.  48g at >=10M.
+- simhash/text/exact are streaming aggregations: 16g is FASTER than 48g
+  (81.5s vs 175.4s — bigger old gen = longer pauses).  16g always.
+
+Prints one JSON line (RESULT ...) with per-stage wall times + row counts;
+BENCH/corpus.json is written by the caller redirect if wanted.
 
 Usage: python jobs/run_corpus_bench.py [--docs N] [--vecs M]
+       python jobs/run_corpus_bench.py --stage minhash --docs N  (one JVM)
 """
 
 from __future__ import annotations
@@ -23,13 +39,18 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import subprocess
 import sys
 import time
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
 
 DOCS_PATH = "/tmp/osmqt_corpus/documents_v2"
 VECS_PATH = "/tmp/osmqt_corpus/embeddings"
+
+STAGES = ["gen", "exact_dedup_groups", "minhash_lsh_pairs", "simhash_pairs",
+          "text_quality_kept", "ann_ivf_topk", "cosine_near_dup_lsh"]
 
 
 def gen_documents(spark, n: int):
@@ -95,14 +116,7 @@ def gen_embeddings(spark, m: int, dim: int = 64):
     return base.select(F.col("id").alias("vec_id"), vec.alias("embedding"))
 
 
-def main() -> None:
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--docs", type=int, default=1_000_000)
-    ap.add_argument("--vecs", type=int, default=200_000)
-    ap.add_argument("--ppb", type=int, default=None,
-                    help="LSH planes per band; default auto-sizes to "
-                         "~4 vectors/bucket: round(log2(vecs/4))")
-    args = ap.parse_args()
+def _auto_ppb(vecs: int) -> int:
     import math
     # Occupancy target ~4, NOT ~50: candidate PAIRS per bucket scale
     # with occupancy^2, so 50/bucket admits ~25x more pairs than
@@ -111,136 +125,255 @@ def main() -> None:
     # gave the identical 142,857-pair output in 37s).  Planted near-dups
     # sit at cos ~0.999 where per-band collision stays ~0.97 even at 18
     # planes, so recall is unaffected.
-    ppb = args.ppb or max(8, round(math.log2(max(args.vecs, 1024) / 4)))
+    return max(8, round(math.log2(max(vecs, 1024) / 4)))
 
+
+def _stage_df(spark, stage: str, args):
+    """The DataFrame a named stage materializes (count() drives it)."""
     from pyspark.sql import functions as F
 
     from osmquadtree_rust_bindings_spark.operators import dedup as DD
     from osmquadtree_rust_bindings_spark.operators import similarity as SIM
     from osmquadtree_rust_bindings_spark.operators import text as TX
+
+    docs = spark.read.parquet(DOCS_PATH + f"_{args.docs}")
+    vecs = spark.read.parquet(VECS_PATH + f"_{args.vecs}")
+    if stage == "exact_dedup_groups":
+        return DD.exact_dedup(docs).filter(F.col("dups") > 1)
+    if stage == "minhash_lsh_pairs":
+        # Banding sized by the S-curve, not a constant: with rows-per-band
+        # r, a pair at Jaccard J collides per band with prob J^r.  The 1M
+        # run used (32, 4) = r 8; at 10M docs that r admitted 165M
+        # candidate pairs (measured via the band-bucket histogram: J~0.5
+        # background pairs collide at 0.4%/band and grow with corpus
+        # size), and the exact-verify attach of per-doc shingle arrays
+        # onto 165M rows was a ~100GB sort.  r=10 / 16 bands keeps
+        # planted J~0.9 recall at 99.9% (1 - (1 - 0.9^10)^16) while
+        # background J<=0.6 collision drops to 0.6%/band.
+        mh_hashes, mh_bands = (160, 16) if args.docs > 2_000_000 else (32, 4)
+        return DD.minhash_lsh_pairs(docs, num_hashes=mh_hashes,
+                                    bands=mh_bands, verify_threshold=0.6,
+                                    max_bucket=200)
+    if stage == "simhash_pairs":
+        # Pigeonhole chunk width must track corpus size: with hamming <= 2
+        # the signature splits into 3 chunks of bits/3, and expected
+        # bucket occupancy is N / 2^(bits/3).  32 bits -> 10-bit chunks
+        # (1024 values) puts every bucket over the hot cap at 10M docs;
+        # 48 bits -> 16-bit chunks still collect ~150 docs/bucket = ~2.3B
+        # candidate pairs (measured as a disk-filling join at 10M).  60
+        # bits (the full word-hash width) -> 20-bit chunks, ~10
+        # docs/bucket, candidates O(N x occupancy).
+        sh_bits = 60 if args.docs > 2_000_000 else 32
+        # Chunk COUNT must also track corpus size, not just signature
+        # width: 60 bits is the word-hash ceiling, so beyond ~10M docs the
+        # 3-chunk 20-bit buckets double occupancy with every corpus
+        # doubling (measured: 94s at 10M -> 618s + 43 GB join spill at
+        # 20M for ~570M background candidates).  chunks=4 switches to the
+        # multi-index pigeonhole (6 two-chunk 30-bit keys/doc): occupancy
+        # N/2^30, identical verified pairs.
+        sh_chunks = 4 if args.docs > 10_000_000 else None
+        return DD.simhash_dup_pairs(docs, bits=sh_bits, max_hamming=2,
+                                    max_bucket=500, chunks=sh_chunks)
+    if stage == "text_quality_kept":
+        return TX.with_quality(docs).filter(F.col("is_quality"))
+    if stage == "ann_ivf_topk":
+        return SIM.ann_ivf_topk(
+            vecs, vecs.filter(F.col("vec_id") < 8).select(
+                F.col("vec_id").alias("qid"),
+                F.col("embedding").alias("qvec")),
+            dim=64, k=10, cells=64, nprobe=4)
+    if stage == "cosine_near_dup_lsh":
+        # ppb auto-sized to ~4 vecs/bucket (log2(vecs/4): 2^16 at 200k,
+        # 2^18 at 1M) — see the occupancy note at _auto_ppb
+        ppb = args.ppb or _auto_ppb(args.vecs)
+        return SIM.cosine_near_dup_pairs_lsh(vecs, dim=64, threshold_num=9,
+                                             threshold_den=10,
+                                             planes_per_band=ppb, bands=4,
+                                             max_bucket=500)
+    raise ValueError(f"unknown stage {stage!r}")
+
+
+def _get_stage_spark(args):
     from osmquadtree_rust_bindings_spark.session import get_spark
 
     # rdd.compress: the 10M-doc minhash pass caches a ~400M-row shingle
     # stream; uncompressed disk-spilled cache blocks + two concurrent
     # full-width shuffles overran a 59GB /tmp (measured).  Compressing
     # cached blocks keeps the soak inside commodity local-disk headroom.
-    #
-    # Heap must track the working set: the session default (16g, fastest
-    # for the sf0.1 bench) thrashes once a pass caches a few-GB band
-    # stream and shuffles alongside it — the 20M-doc minhash pass ran
-    # 870s at 16g vs 516s at 48g with identical output (the 516s figure
-    # is 1.95x the 10M pass: linear, so the 16g slowdown was pure GC).
-    # On a real cluster this is per-executor memory sizing; respect an
-    # explicit override.
-    if args.docs >= 10_000_000 and "SPARK_DRIVER_MEM" not in os.environ:
-        os.environ["SPARK_DRIVER_MEM"] = "48g"
     spark = get_spark(extra_conf={"spark.rdd.compress": "true"})
     spark.sparkContext.setLogLevel("ERROR")
+    return spark
 
+
+def run_stage(args) -> None:
+    """Run ONE stage in THIS process (fresh JVM when invoked per-stage by
+    the orchestrator / spark-submit) and print STAGE_RESULT json."""
+    spark = _get_stage_spark(args)
+    if args.stage == "gen":
+        t0 = time.time()
+        if not os.path.exists(DOCS_PATH + f"_{args.docs}/_SUCCESS"):
+            gen_documents(spark, args.docs).write.mode("overwrite") \
+                .parquet(DOCS_PATH + f"_{args.docs}")
+        if not os.path.exists(VECS_PATH + f"_{args.vecs}/_SUCCESS"):
+            gen_embeddings(spark, args.vecs).write.mode("overwrite") \
+                .parquet(VECS_PATH + f"_{args.vecs}")
+        out = {"stage": "gen", "rows": args.docs + args.vecs,
+               "sec": round(time.time() - t0, 2)}
+    else:
+        df = _stage_df(spark, args.stage, args)
+        t0 = time.time()
+        n = df.count()
+        out = {"stage": args.stage, "rows": n,
+               "sec": round(time.time() - t0, 2)}
+    print("STAGE_RESULT " + json.dumps(out), flush=True)
+    spark.stop()
+
+
+# --------------------------------------------------------------- orchestrator
+
+def _spark_submit_bin() -> str:
+    import shutil
+
+    import pyspark
+    found = shutil.which("spark-submit")
+    if found:
+        return found
+    return os.path.join(os.path.dirname(pyspark.__file__), "bin",
+                        "spark-submit")
+
+
+def _stage_mem(stage: str, docs: int) -> str:
+    """Per-stage heap — the operator working-set contract (measured, see
+    module docstring): minhash_lsh_pairs executor memory must track
+    ~(docs x bands x 16B cached band stream + shuffle working set) /
+    cores; every other stage is a streaming agg happiest at the 16g
+    session default."""
+    if stage == "minhash_lsh_pairs" and docs >= 10_000_000:
+        return os.environ.get("SPARK_MINHASH_MEM", "48g")
+    return os.environ.get("SPARK_DRIVER_MEM", "16g")
+
+
+def _scratch_bytes() -> int:
+    import glob
+    tot = 0
+    for d in glob.glob("/tmp/blockmgr-*") + glob.glob("/tmp/spark-*"):
+        for root, _dirs, files in os.walk(d):
+            for f in files:
+                try:
+                    tot += os.path.getsize(os.path.join(root, f))
+                except OSError:
+                    pass
+    return tot
+
+
+def _wait_scratch_stable() -> None:
+    """Wait for the previous JVM's scratch cleanup to finish so its disk
+    I/O attributes to the gap between stages, not the next stage's
+    clock (JVM shutdown removes blockmgr/spark temp dirs; on a loaded
+    disk those unlinks take tens of seconds at 20M-doc scale)."""
+    prev = _scratch_bytes()
+    for _ in range(40):
+        time.sleep(3)
+        cur = _scratch_bytes()
+        if cur >= prev:
+            break
+        prev = cur
+
+
+def run_orchestrated(args) -> dict:
+    """One spark-submit --py-files JVM per stage (north-rule deployment
+    shape), per-stage heap, fresh page-cache-friendly sequencing."""
+    from osmquadtree_rust_bindings_spark.session import build_pyfiles_zip
+
+    zp = build_pyfiles_zip()
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    res: dict = {"docs": args.docs, "vecs": args.vecs, "isolated": True,
+                 "cpus": int(cpus)}
+    for stage in STAGES:
+        mem = _stage_mem(stage, args.docs)
+        cmd = [
+            _spark_submit_bin(), "--master", f"local[{cpus}]",
+            "--driver-memory", mem,
+            # JVM-start-time flags get_spark can't set post-hoc:
+            "--conf",
+            "spark.driver.extraJavaOptions=-XX:-DontCompileHugeMethods",
+            "--py-files", zp,
+            os.path.abspath(__file__), "--stage", stage,
+            "--docs", str(args.docs), "--vecs", str(args.vecs),
+        ]
+        if args.ppb:
+            cmd += ["--ppb", str(args.ppb)]
+        print(f"PASS {stage} start (heap {mem}, fresh JVM)", flush=True)
+        t0 = time.time()
+        env = dict(os.environ)
+        env["SPARK_DRIVER_MEM"] = mem  # get_spark mirror (harmless here)
+        r = subprocess.run(cmd, capture_output=True, text=True, env=env)
+        proc_sec = round(time.time() - t0, 2)
+        lines = [ln for ln in r.stdout.splitlines()
+                 if ln.startswith("STAGE_RESULT ")]
+        if r.returncode != 0 or not lines:
+            raise RuntimeError(
+                f"stage {stage} failed rc={r.returncode}:\n"
+                f"{r.stdout[-2000:]}\n{r.stderr[-4000:]}")
+        out = json.loads(lines[-1][len("STAGE_RESULT "):])
+        # sec = the stage's own measured query wall (comparable with the
+        # standalone numbers); proc_sec adds JVM startup + data load
+        out["proc_sec"] = proc_sec
+        if stage != "gen":
+            res[stage] = out
+        print(f"PASS {stage} done {out}", flush=True)
+        _wait_scratch_stable()
+    return res
+
+
+def run_shared_jvm(args) -> dict:
+    """Legacy single-JVM mode (A/B baseline for the isolation claim)."""
+    spark = _get_stage_spark(args)
+    # gen inline
     if not os.path.exists(DOCS_PATH + f"_{args.docs}/_SUCCESS"):
         gen_documents(spark, args.docs).write.mode("overwrite") \
             .parquet(DOCS_PATH + f"_{args.docs}")
     if not os.path.exists(VECS_PATH + f"_{args.vecs}/_SUCCESS"):
         gen_embeddings(spark, args.vecs).write.mode("overwrite") \
             .parquet(VECS_PATH + f"_{args.vecs}")
-    docs = spark.read.parquet(DOCS_PATH + f"_{args.docs}")
-    vecs = spark.read.parquet(VECS_PATH + f"_{args.vecs}")
-
-    res: dict = {"docs": args.docs, "vecs": args.vecs,
+    res: dict = {"docs": args.docs, "vecs": args.vecs, "isolated": False,
                  "cpus": spark.sparkContext.defaultParallelism}
-
-    def _scratch_bytes():
-        import glob
-        tot = 0
-        for d in glob.glob("/tmp/blockmgr-*") + glob.glob("/tmp/spark-*"):
-            for root, _dirs, files in os.walk(d):
-                for f in files:
-                    try:
-                        tot += os.path.getsize(os.path.join(root, f))
-                    except OSError:
-                        pass
-        return tot
-
-    def run(name, df):
-        print(f"PASS {name} start", flush=True)
+    for stage in STAGES[1:]:
+        df = _stage_df(spark, stage, args)
+        print(f"PASS {stage} start", flush=True)
         t0 = time.time()
         n = df.count()
-        res[name] = {"rows": n, "sec": round(time.time() - t0, 2)}
-        print(f"PASS {name} done {res[name]}", flush=True)
-        # Dedup passes cache shingle/signature intermediates internally;
-        # dropping them + a JVM GC lets the ContextCleaner delete the
-        # finished stage's shuffle files NOW instead of at an arbitrary
-        # later GC — without this, consecutive 10M-doc passes stack
-        # ~3 suites of shuffle temp and overran a 59GB /tmp (measured).
+        res[stage] = {"stage": stage, "rows": n,
+                      "sec": round(time.time() - t0, 2)}
+        print(f"PASS {stage} done {res[stage]}", flush=True)
+        # drop cached intermediates + force the ContextCleaner to delete
+        # finished shuffle files NOW, then wait for the unlinks
         spark.catalog.clearCache()
         spark.sparkContext._jvm.System.gc()
-        # ...and WAIT for the deletions to finish before the next pass
-        # starts its clock: the ContextCleaner unlinks asynchronously, so
-        # without this barrier ~30 GB of the previous pass's shuffle
-        # files are being deleted (and the page cache churned) WHILE the
-        # next pass shuffles — measured 299s for the 20M simhash pass
-        # mid-suite vs 81.5s standalone, same code and outputs.  Poll
-        # scratch size until stable (cleanup I/O attributes to the gap
-        # between passes, where it belongs).
-        prev = _scratch_bytes()
-        for _ in range(40):
-            time.sleep(3)
-            cur = _scratch_bytes()
-            if cur >= prev:
-                break
-            prev = cur
+        _wait_scratch_stable()
         spark.sparkContext._jvm.System.gc()
+    spark.stop()
+    return res
 
-    run("exact_dedup_groups",
-        DD.exact_dedup(docs).filter(F.col("dups") > 1))
-    # Banding sized by the S-curve, not a constant: with rows-per-band
-    # r, a pair at Jaccard J collides per band with prob J^r.  The 1M run
-    # used (32, 4) = r 8; at 10M docs that r admitted 165M candidate
-    # pairs (measured via the band-bucket histogram: J~0.5 background
-    # pairs collide at 0.4%/band and grow with corpus size), and the
-    # exact-verify attach of per-doc shingle arrays onto 165M rows was a
-    # ~100GB sort.  r=10 / 16 bands keeps planted J~0.9 recall at 99.9%
-    # (1 - (1 - 0.9^10)^16) while background J<=0.6 collision drops to
-    # 0.6%/band — candidates shrink to ~the true near-dup set.
-    mh_hashes, mh_bands = (160, 16) if args.docs > 2_000_000 else (32, 4)
-    run("minhash_lsh_pairs",
-        DD.minhash_lsh_pairs(docs, num_hashes=mh_hashes, bands=mh_bands,
-                             verify_threshold=0.6, max_bucket=200))
-    # Pigeonhole chunk width must track corpus size: with hamming <= 2
-    # the signature splits into 3 chunks of bits/3, and expected bucket
-    # occupancy is N / 2^(bits/3).  32 bits -> 10-bit chunks (1024
-    # values) puts every bucket over the hot cap at 10M docs; 48 bits ->
-    # 16-bit chunks still collect ~150 docs/bucket = ~2.3B candidate
-    # pairs (measured as a disk-filling join at 10M).  60 bits (the full
-    # word-hash width) -> 20-bit chunks, ~10 docs/bucket, candidates
-    # O(N x occupancy) — the scale-honest shape.
-    sh_bits = 60 if args.docs > 2_000_000 else 32
-    # Chunk COUNT must also track corpus size, not just signature width:
-    # 60 bits is the word-hash ceiling, so beyond ~10M docs the 3-chunk
-    # 20-bit buckets double occupancy with every corpus doubling
-    # (measured: 94s at 10M -> 618s + 43 GB join spill at 20M for ~570M
-    # background candidates).  chunks=4 switches to the multi-index
-    # pigeonhole (6 two-chunk 30-bit keys/doc): occupancy N/2^30,
-    # identical verified pairs.
-    sh_chunks = 4 if args.docs > 10_000_000 else None
-    run("simhash_pairs", DD.simhash_dup_pairs(docs, bits=sh_bits,
-                                          max_hamming=2, max_bucket=500,
-                                          chunks=sh_chunks))
-    run("text_quality_kept",
-        TX.with_quality(docs).filter(F.col("is_quality")))
-    run("ann_ivf_topk",
-        SIM.ann_ivf_topk(
-            vecs, vecs.filter(F.col("vec_id") < 8).select(
-                F.col("vec_id").alias("qid"),
-                F.col("embedding").alias("qvec")),
-            dim=64, k=10, cells=64, nprobe=4))
-    run("cosine_near_dup_lsh",
-        SIM.cosine_near_dup_pairs_lsh(vecs, dim=64, threshold_num=9,
-                                      threshold_den=10,
-                                      # ppb auto-sized to ~50 vecs/bucket
-                                      # (2^12 at 200k, 2^14 at 1M)
-                                      planes_per_band=ppb, bands=4,
-                                      max_bucket=500))
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--docs", type=int, default=1_000_000)
+    ap.add_argument("--vecs", type=int, default=200_000)
+    ap.add_argument("--ppb", type=int, default=None,
+                    help="LSH planes per band; default auto-sizes to "
+                         "~4 vectors/bucket: round(log2(vecs/4))")
+    ap.add_argument("--stage", choices=STAGES, default=None,
+                    help="run ONE stage in this process (fresh JVM)")
+    ap.add_argument("--shared-jvm", action="store_true",
+                    help="legacy all-stages-in-one-JVM mode (A/B baseline)")
+    args = ap.parse_args()
+
+    if args.stage:
+        run_stage(args)
+        return
+    res = run_shared_jvm(args) if args.shared_jvm else run_orchestrated(args)
+
     # planted-set recall: generators plant exact dups at docs/10 and
     # embedding near-dup pairs at vecs/7 deterministically.  minhash
     # expectation: docs/10 exact pairs (J=1, every band collides) plus
@@ -251,17 +384,18 @@ def main() -> None:
     mh_expected = args.docs // 10 + 2 * (args.docs // 20)
     res["planted"] = {
         "exact_dedup_expected": args.docs // 10,
-        "exact_recall": res["exact_dedup_groups"]["rows"] == args.docs // 10,
+        "exact_recall":
+            res["exact_dedup_groups"]["rows"] == args.docs // 10,
         "minhash_pairs_expected": mh_expected,
         "minhash_recall": round(
             res["minhash_lsh_pairs"]["rows"] / mh_expected, 4),
         "cosine_pairs_expected": args.vecs // 7,
-        "cosine_recall": res["cosine_near_dup_lsh"]["rows"] == args.vecs // 7,
+        "cosine_recall":
+            res["cosine_near_dup_lsh"]["rows"] == args.vecs // 7,
     }
     res["total_sec"] = round(sum(v["sec"] for v in res.values()
                                  if isinstance(v, dict) and "sec" in v), 2)
     print("RESULT " + json.dumps(res))
-    spark.stop()
 
 
 if __name__ == "__main__":

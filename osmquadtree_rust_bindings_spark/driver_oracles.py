@@ -60,6 +60,42 @@ def _le_u32_hex(c: str) -> str:
     return " || ".join(f"substr({be}, {p}, 2)" for p in (7, 5, 3, 1))
 
 
+_M64 = "18446744073709551616"  # 2^64
+
+
+def _xor64(a: str, b: str) -> str:
+    """XOR of two HUGEINT exprs in [0, 2^64): DuckDB's xor() is
+    BIGINT-only, so split into 32-bit halves (each half < 2^32 fits)."""
+    return (f"((xor((({a}) // 4294967296)::BIGINT,"
+            f" (({b}) // 4294967296)::BIGINT))::HUGEINT * 4294967296"
+            f" + (xor((({a}) % 4294967296)::BIGINT,"
+            f" (({b}) % 4294967296)::BIGINT))::HUGEINT)")
+
+
+def _mul64(x: str, k: int) -> str:
+    """(x * k) mod 2^64 for HUGEINT x in [0, 2^64) and a 64-bit constant,
+    WITHOUT overflowing INT128 (x*k can reach 2^128): split k into 32-bit
+    halves so each partial product stays under 2^96."""
+    kh, kl = k >> 32, k & 0xFFFFFFFF
+    t1 = f"((({x}) * {kl}::HUGEINT) % {_M64}::HUGEINT)"
+    t2 = (f"((((({x}) * {kh}::HUGEINT) % 4294967296::HUGEINT))"
+          f" * 4294967296::HUGEINT)")
+    return f"(({t1} + {t2}) % {_M64}::HUGEINT)"
+
+
+def _sm64(x: str) -> str:
+    """splitmix64 (sources/images.py:_splitmix64) of a HUGEINT expr in
+    [0, 2^64) — the fixture generators' shared bit mixer, replayed in
+    pure integer SQL so the s11 oracle derives w/h/fmt/dither
+    independently of the Python codecs."""
+    s1 = f"((({x}) + 11400714819323198485::HUGEINT) % {_M64}::HUGEINT)"
+    x1 = _xor64(s1, f"({s1} // 1073741824)")      # >> 30
+    s2 = _mul64(x1, 0xBF58476D1CE4E5B9)
+    x2 = _xor64(s2, f"({s2} // 134217728)")       # >> 27
+    s3 = _mul64(x2, 0x94D049BB133111EB)
+    return _xor64(s3, f"({s3} // 2147483648)")    # >> 31
+
+
 def _values(pdf, cols) -> str:
     rows = ", ".join(
         "(" + ", ".join(str(int(r[c])) for c in cols) + ")"
@@ -162,10 +198,20 @@ FROM {PTS}"""
 
     # §2.8 streaming window rollup: tumbling 10-min windows are
     # floor-aligned epochs — replayable without any streaming machinery
+    # s28 merged gate: windowed agg + the Bloom first-seen dedup.  The
+    # bloom arm's oracle is the EXACT first-seen semantics (distinct keys
+    # per group): the engine's fixed-size Bloom must reproduce it with
+    # zero false positives at the configured capacity, so any fp breaks
+    # the hash — that's the capacity assertion.
     o["s28_stream_window"] = """
-SELECT cast(floor(epoch(ts) / 600) * 600 as bigint) AS win_start,
-       event_type, cast(count(*) as bigint) AS n
-FROM events GROUP BY 1, 2"""
+SELECT 'window' AS kind,
+       cast(floor(epoch(ts) / 600) * 600 as bigint) AS k1,
+       event_type AS k2, cast(count(*) as bigint) AS n
+FROM events GROUP BY 1, 2, 3
+UNION ALL
+SELECT 'bloom_first_seen' AS kind, cast(user_id % 8 as bigint) AS k1,
+       '' AS k2, cast(count(DISTINCT user_id) as bigint) AS n
+FROM events GROUP BY 1, 2, 3"""
 
     o["x7_time_rollup"] = """
 SELECT cast(year(ts) * 100 + month(ts) as bigint) AS ym,
@@ -898,6 +944,124 @@ FROM ({o['ann_l2_topk']})
 UNION ALL
 SELECT 'cosine' AS kind, qid, rank, vec_id, score AS val
 FROM ({o['ann_cosine_topk']})"""
+
+    # S11 modalities: the decoded-feature stats re-derived ANALYTICALLY
+    # from the generator specs (sources/images.py gen_pixels,
+    # sources/audio.py gen_samples, sources/video.py gen_frames) — the
+    # oracle never touches the binary payloads, so a codec bug on either
+    # encode or decode side breaks the hash.
+    #
+    # image: the lossy codec quantizes pix//4 then dequantizes *4+2, so
+    # the per-pixel error is ((v mod 4) - 2) and v mod 4 =
+    # (i + c + 3x + y + ((i>>c)&3)*x*y) mod 4 depends only on (x mod 4,
+    # y mod 4) — and w, h are multiples of 4, so MSE = S/48 where S is
+    # the 48-term residue sum, INDEPENDENT of image size.  numpy computes
+    # sse/npix = (w*h/16*S)/(w*h*3); IEEE division is correctly rounded
+    # and the exact quotients are equal, so both engines produce the
+    # identical double, and floor(10*log10(65025/mse)*100) agrees (log10
+    # is the same libm call on this box; a disagreement would need
+    # psnr*100 within ~1 ulp of an integer).  fmt comes from the replayed
+    # splitmix64.  c1 counts png (exact by losslessness) + jpeg with
+    # psnr >= 40; c2 = caption equality (same formula both sides) = n.
+    img_u = _sm64("(xor(i, 42))::HUGEINT")
+    # audio: tone = trunc(8000*sin(2*pi*f1*t/16000) + 4000*sin(...)) +
+    # splitmix dither - 128, clipped; SQL replays the identical
+    # left-associated double expression (same libm sin on this box).
+    aud_dither = _sm64("((t.t + c.i * 1000003))::HUGEINT")
+    # video: pixel value of frame-seed s at (x, y, c) is
+    # ((s*61 + c*97) % 256 + 31x + 17y + ((s>>c)&7)*x*y) % 256; luma and
+    # |frame_f - frame_{f-1}| are integer sums of that closed form.
+    vpix = ("((((({s}) * 61 + c.c * 97) % 256) + 31 * x.x + 17 * y.y"
+            " + ((({s}) // (1 << c.c)) % 8) * x.x * y.y) % 256)")
+    o["s11_modalities"] = f"""
+WITH imgs AS (
+  SELECT i, {img_u} AS u
+  FROM (SELECT unnest(generate_series(0, 1999)) AS i)
+),
+fmts AS (SELECT i, ((u // 16) % 10) < 8 AS is_png FROM imgs),
+iterms AS (
+  SELECT f.i,
+         sum((((f.i + c.c + 3*a.a + b.b
+                + (((f.i // (1 << c.c)) % 8) % 4) * a.a * b.b) % 4) - 2)
+             * (((f.i + c.c + 3*a.a + b.b
+                + (((f.i // (1 << c.c)) % 8) % 4) * a.a * b.b) % 4) - 2))
+         AS s
+  FROM fmts f,
+       (SELECT unnest(generate_series(0, 3)) AS a) a,
+       (SELECT unnest(generate_series(0, 3)) AS b) b,
+       (SELECT unnest(generate_series(0, 2)) AS c) c
+  WHERE NOT f.is_png
+  GROUP BY f.i
+),
+jpeg_psnr AS (
+  SELECT i, CASE WHEN s = 0 THEN 999900
+           ELSE floor(least(10 * log10(65025.0 / (s / 48.0)), 9999.0)
+                      * 100)::BIGINT END AS centi
+  FROM iterms
+),
+aclips AS (
+  SELECT i, 512 + (i * 277) % 2048 AS n,
+         3 + i % 13 AS f1, 29 + i % 37 AS f2
+  FROM (SELECT unnest(generate_series(0, 1499)) AS i)
+),
+asamples AS (
+  SELECT c.i, t.t,
+         greatest(-32768, least(32767,
+           trunc(8000 * sin(2 * pi() * c.f1 * t.t / 16000)
+                 + 4000 * sin(2 * pi() * c.f2 * t.t / 16000))::BIGINT
+           + ({aud_dither} % 256)::BIGINT - 128)) AS x
+  FROM aclips c,
+       LATERAL (SELECT unnest(generate_series(0, c.n - 1)) AS t) t
+),
+afeats AS (
+  SELECT i, count(*) AS n_samples, max(abs(x)) AS peak,
+         sum(CASE WHEN (x < 0) <> (lx < 0) THEN 1 ELSE 0 END) AS zc
+  FROM (SELECT i, t, x, lag(x) OVER (PARTITION BY i ORDER BY t) AS lx
+        FROM asamples)
+  GROUP BY i
+),
+vclips AS (
+  SELECT i, 8 + (i * 131) % 56 AS n,
+         16 * (1 << (i % 2)) AS w, 16 * (1 << ((i // 2) % 2)) AS h
+  FROM (SELECT unnest(generate_series(0, 399)) AS i)
+),
+vpx AS (
+  SELECT cl.i, f.f,
+         sum((CASE c.c WHEN 0 THEN 2 WHEN 1 THEN 5 ELSE 1 END)
+             * {vpix.format(s="cl.i * 1009 + f.f")}) AS luma,
+         sum(CASE WHEN f.f = 0 THEN 0 ELSE
+             abs({vpix.format(s="cl.i * 1009 + f.f")}
+                 - {vpix.format(s="cl.i * 1009 + f.f - 1")}) END) AS dsum
+  FROM vclips cl,
+       LATERAL (SELECT unnest(generate_series(0, cl.n - 1)) AS f) f,
+       LATERAL (SELECT unnest(generate_series(0, cl.h - 1)) AS y) y,
+       LATERAL (SELECT unnest(generate_series(0, cl.w - 1)) AS x) x,
+       (SELECT unnest(generate_series(0, 2)) AS c) c
+  GROUP BY cl.i, f.f
+),
+vclip AS (
+  SELECT i, max(luma) AS max_luma, sum(dsum) AS sum_diff
+  FROM vpx GROUP BY i
+)
+SELECT 'image' AS modality,
+       (SELECT count(*) FROM imgs)::BIGINT AS n,
+       ((SELECT count(*) FROM fmts WHERE is_png)
+        + (SELECT count(*) FROM jpeg_psnr WHERE centi >= 4000))::BIGINT
+       AS c1,
+       (SELECT count(*) FROM imgs)::BIGINT AS c2,
+       least(999900, (SELECT min(centi) FROM jpeg_psnr))::BIGINT AS c3
+UNION ALL
+SELECT 'audio' AS modality,
+       (SELECT count(*) FROM aclips)::BIGINT AS n,
+       (SELECT sum(n_samples) FROM afeats)::BIGINT AS c1,
+       (SELECT max(peak) FROM afeats)::BIGINT AS c2,
+       (SELECT sum(zc) FROM afeats)::BIGINT AS c3
+UNION ALL
+SELECT 'video' AS modality,
+       (SELECT count(*) FROM vclips)::BIGINT AS n,
+       (SELECT sum(n) FROM vclips)::BIGINT AS c1,
+       (SELECT max(max_luma) FROM vclip)::BIGINT AS c2,
+       (SELECT sum(sum_diff) FROM vclip)::BIGINT AS c3"""
 
     # S2 get_header round trip: base snapshot carries the pts bbox +
     # feature lists + replication cursor 41; the change snapshot extends

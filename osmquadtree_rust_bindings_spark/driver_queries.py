@@ -444,11 +444,22 @@ def q_f7_asof_read(spark, sf_dir):
 
 
 def q_s28_stream_window(spark, sf_dir):
-    # §2.8 streaming-native incremental aggregate: event-time tumbling
-    # windows + watermark over a readStream source, drained with
-    # availableNow (the replication-cursor model: a restarted stream
-    # resumes after the last committed batch).  The drained result is a
-    # plain batch table the SQL oracle replays as floor-aligned epochs.
+    # §2.8 streaming-native MERGED gate, shape (kind, k1, k2, n):
+    # - kind='window': event-time tumbling windows + watermark over a
+    #   readStream source, drained with availableNow (the replication-
+    #   cursor model: a restarted stream resumes after the last committed
+    #   batch); k1=win_start epoch, k2=event_type.
+    # - kind='bloom_first_seen': the Bloom-state stateful dedup
+    #   (streaming/ingest.stream_first_seen, state_mode='bloom') drained
+    #   across TWO overlapping availableNow rounds sharing one
+    #   checkpoint: round 1 delivers events with event_id % 3 != 0,
+    #   round 2 re-delivers everything — re-delivered keys must be
+    #   suppressed by the persisted fixed-size Bloom state, so the
+    #   emitted set is exactly the distinct keys.  Hash-exact because the
+    #   Bloom is deterministic and, at this capacity (m=2^20, k=7, n of
+    #   order 10^3-10^4 per group), the false-positive set is empty —
+    #   a single fp would drop an emission and break the hash, so the
+    #   gate pins zero-fp at the configured capacity; k1=tile group.
     import os
     import tempfile
     import uuid
@@ -473,9 +484,49 @@ def q_s28_stream_window(spark, sf_dir):
     if not q.awaitTermination(300):
         q.stop()
         raise TimeoutError("s28 availableNow drain did not finish in 300s")
-    return spark.table(qname).select(
-        F.unix_timestamp(F.col("w.start")).cast("long").alias("win_start"),
-        "event_type", F.col("n").cast("long").alias("n"))
+    win = spark.table(qname).select(
+        F.lit("window").alias("kind"),
+        F.unix_timestamp(F.col("w.start")).cast("long").alias("k1"),
+        F.col("event_type").alias("k2"),
+        F.col("n").cast("long").alias("n"))
+
+    from osmquadtree_rust_bindings_spark.streaming import ingest as ING
+
+    ev = _read(spark, sf_dir, "events").select(
+        F.col("user_id").cast("string").alias("image_id"),
+        F.col("user_id").cast("long").alias("uid"),
+        (F.col("user_id") % 8).cast("long").alias("tile"),
+        F.col("event_id"))
+    d2 = tempfile.mkdtemp(prefix="s28b_")
+    bsrc = os.path.join(d2, "src")
+    bout = os.path.join(d2, "out")
+    bckp = os.path.join(d2, "ckp")
+
+    def drain(batch_df):
+        batch_df.select("image_id", "tile").write.mode("append") \
+            .parquet(bsrc)
+        stream = (spark.readStream.schema("image_id string, tile long")
+                  .format("parquet").load(bsrc))
+        qq = (ING.stream_first_seen(stream, timeout_ms=None,
+                                    state_mode="bloom",
+                                    bloom_bits=1 << 20)
+              .writeStream.format("parquet").option("path", bout)
+              .option("checkpointLocation", bckp)
+              .trigger(availableNow=True).start())
+        if not qq.awaitTermination(300):
+            qq.stop()
+            raise TimeoutError(
+                "s28 bloom drain did not finish in 300s")
+
+    drain(ev.filter(F.col("event_id") % 3 != 0))
+    drain(ev)
+    bloom = (spark.read.parquet(bout)
+             .groupBy("tile").agg(F.count(F.lit(1)).alias("n"))
+             .select(F.lit("bloom_first_seen").alias("kind"),
+                     F.col("tile").cast("long").alias("k1"),
+                     F.lit("").alias("k2"),
+                     F.col("n").cast("long").alias("n")))
+    return win.unionByName(bloom)
 
 
 def q_x7_time_rollup(spark, sf_dir):
@@ -642,8 +693,14 @@ def q_j9_pip_join(spark, sf_dir):
 
 
 def q_j10_knn_join(spark, sf_dir):
+    # gate pins the BATCH form (knn_join_batch): the single-plan variant a
+    # large query set auto-dispatches to — no driver convergence loop.
+    # Output proven identical to the round-looped knn_join on this exact
+    # fixture (tests/test_spatial_join.py::test_knn_join_batch_matches_
+    # loop_form), so the oracle is unchanged.
     pts = _pts_with_qt(spark, sf_dir)
-    out = SJ.knn_join(pts, _knn_queries(), point_id="rowkey")
+    out = SJ.knn_join_batch(pts, spark.createDataFrame(_knn_queries()),
+                            point_id="rowkey")
     return out.select(F.col("qid").cast("long").alias("qid"),
                       F.col("rank").cast("long").alias("rank"),
                       F.col("rowkey").cast("long").alias("rowkey"))
@@ -757,7 +814,8 @@ def q_dedup_embedding_cosine_lsh(spark, sf_dir):
 def q_s11_image_decode_stats(spark, sf_dir):
     # S11 per-blob decode + the input_hint payload invariant (decoded-pixel
     # equality / PSNR>=40dB + caption equality) over a deterministic
-    # synthetic corpus; binary codec -> rows-only check (no SQL oracle)
+    # synthetic corpus; oracle re-derives the stats analytically from the
+    # generator spec (driver_oracles s11_modalities)
     from osmquadtree_rust_bindings_spark.operators import images as IMG
     from osmquadtree_rust_bindings_spark.sources import images as SRC
 
@@ -778,7 +836,8 @@ def q_s11_image_decode_stats(spark, sf_dir):
 def q_s11c_video_features(spark, sf_dir):
     # S11 analogue for the video modality: opaque frame-stack payload ->
     # per-clip integer features + every-8th-frame sampling, one Arrow
-    # pass each; binary codec -> rows-only check (like s11/s11b)
+    # pass each; the merged s11 gate's oracle replays the frame pixel
+    # pattern analytically (driver_oracles s11_modalities)
     from osmquadtree_rust_bindings_spark.operators import images as IMG
     from osmquadtree_rust_bindings_spark.sources import video as SRC
 
@@ -936,7 +995,8 @@ def q_ann_ivf_topk(spark, sf_dir):
 
 def q_s11b_audio_features(spark, sf_dir):
     # S11 analogue for the audio modality: opaque PCM payload -> integer
-    # features in one Arrow pass; binary codec -> rows-only check.
+    # features in one Arrow pass; the merged s11 gate's oracle replays
+    # the PCM generator analytically (driver_oracles s11_modalities).
     # All-integer aggregate keeps the output hash-stable across runs.
     from osmquadtree_rust_bindings_spark.operators import images as IMG
     from osmquadtree_rust_bindings_spark.sources import audio as SRC
@@ -1187,7 +1247,9 @@ def q_s11_modalities(spark, sf_dir):
     # image c1/c2 = payload-invariant pass counts (pixels, caption) which
     # must equal n, c3 = min PSNR-centi; audio c1..c3 = sum samples / max
     # peak / sum zero-crossings; video c1..c3 = sum frames / max luma /
-    # sum frame-diff.  Binary codecs -> rows-only check (no SQL oracle).
+    # sum frame-diff.  Oracle: analytic replay of all three generator
+    # specs in pure integer SQL (plus the jpeg S/48 closed-form MSE and
+    # the audio tone expression) — driver_oracles.py s11_modalities.
     img = q_s11_image_decode_stats(spark, sf_dir).agg(
         F.sum("n").cast("long").alias("n"),
         F.sum("n_pixels_ok").cast("long").alias("c1"),

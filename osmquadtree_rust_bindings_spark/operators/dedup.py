@@ -322,7 +322,14 @@ def minhash_lsh_pairs(df: DataFrame, num_hashes: int = 16, bands: int = 4,
     (same output either way).  The default (``None``) picks by input
     size: legacy below ``ARROW_MIN_BYTES`` (the kernel's Python md5 cost
     dominates small inputs), Arrow above it (the shuffle it removes
-    dominates large ones) — measurements at the constant's definition."""
+    dominates large ones) — measurements at the constant's definition.
+
+    Cache ownership: on the big path the band stream is ``.cache()``d so
+    the self-join sides and the candidate-id restriction share one pass.
+    The returned DataFrame is lazy, so this function cannot unpersist it;
+    CALLERS running many invocations in one long-lived session own the
+    cleanup (``spark.catalog.clearCache()`` after materializing, as the
+    corpus bench does) or the cached multi-GB streams accumulate."""
     rows = num_hashes // bands
     # scale-safe when the estimate is unknown: treat as big
     big = (_plan_size_bytes(df) or ARROW_MIN_BYTES) >= ARROW_MIN_BYTES
@@ -504,6 +511,10 @@ def simhash_dup_pairs(df: DataFrame, bits: int = 16, max_hamming: int = 2,
     if k <= max_hamming:
         raise ValueError(f"chunks={k} must exceed max_hamming={max_hamming}")
     step = bits // k
+    if step == 0:
+        # k > bits would make every chunk mask 0: all docs share every
+        # combination key and the self-join degenerates to N^2 candidates
+        raise ValueError(f"chunks={k} must not exceed bits={bits}")
 
     def chunk_val(c: int):
         return F.col("simhash").bitwiseAND(

@@ -8,9 +8,10 @@ Mirrors the reference's per-blob decode operator S11
 decoded lazily and in worker threads.
 
 Real PNG/JPEG codecs (PIL) are absent in this container; the package codec
-in ``sources.images`` is used.  Audio/video payloads are schema-stubbed:
-the plumbing (schema, batching, partitioning) is real, the media decode
-raises NotImplementedError until the codec libs exist.
+in ``sources.images`` is used.  Audio and video payloads decode through the
+package's own deterministic codecs (``sources.audio`` PCM,
+``sources.video`` FVI1) — a real mp3/av library would replace only the
+decode call, never the Spark plumbing.
 """
 
 from __future__ import annotations

@@ -164,7 +164,8 @@ def pip_join(points: DataFrame, polygons_pdf: pd.DataFrame,
 
 def knn_join(points: DataFrame, queries_pdf: pd.DataFrame,
              point_id: str = "image_id", level: int = 6,
-             qt_point: str = "qt_point", max_rounds: int = 8) -> DataFrame:
+             qt_point: str = "qt_point", max_rounds: int = 8,
+             batch_threshold: int = 1000) -> DataFrame:
     """k nearest points per query: ring-expansion cover join + exact
     haversine re-rank (window), iterated until the k-th distance is within
     the ring guarantee radius.  Ties broken by ascending ``point_id``.
@@ -175,10 +176,21 @@ def knn_join(points: DataFrame, queries_pdf: pd.DataFrame,
     Each round only re-runs unsatisfied queries with doubled r; the points
     side is probed via a broadcast (cell -> qid) expansion, so every round
     is one broadcast join + window over candidates, no cross join ever.
-    """
+
+    The driver convergence loop materializes each round's top-k to decide
+    which queries are satisfied — the right contract for a handful of
+    queries (few rounds, tiny collects).  At ``batch_threshold`` queries
+    and above it auto-dispatches to :func:`knn_join_batch`, the single-plan
+    form with no driver materialization at all (identical output — pinned
+    by tests and the shared driver gate)."""
     from pyspark.sql.window import Window
 
     spark = points.sparkSession
+    if len(queries_pdf) >= batch_threshold:
+        return knn_join_batch(
+            points, spark.createDataFrame(
+                queries_pdf[["qid", "lon", "lat", "k"]]),
+            point_id=point_id, level=level, qt_point=qt_point)
     sh = 63 - 2 * level  # compact cell index — see bbox_join
     pts = points.withColumn(
         "cell_knn", F.shiftrightunsigned(F.col(qt_point), sh)).select(

@@ -20,9 +20,14 @@ from dataclasses import dataclass
 def _iceberg_available(spark) -> bool:
     # conf presence alone is not evidence: Spark 4.1 resolves
     # spark.sql.catalog.spark_catalog to a default V2 session catalog even
-    # with no Iceberg on the classpath, so probe the runtime class itself
+    # with no Iceberg on the classpath, so probe the runtime class itself.
+    # Utils.classForName consults Spark's session classloader, which sees
+    # jars added via --packages/spark.jars (a MutableURLClassLoader that a
+    # plain java.lang.Class.forName on py4j's loader misses — that probe
+    # silently reported Iceberg absent when it was usable).
     try:
-        spark._jvm.java.lang.Class.forName("org.apache.iceberg.spark.SparkCatalog")
+        spark._jvm.org.apache.spark.util.Utils.classForName(
+            "org.apache.iceberg.spark.SparkCatalog", True, False)
         return True
     except Exception:
         return False

@@ -93,29 +93,53 @@ def test_knn_join_batch_matches_loop_form(spark, calc):
 
 
 def test_knn_join_batch_large_query_set(spark, calc, images_pdf):
-    # 10^4 queries resolved in one plan — queries stay a DataFrame end to
-    # end; spot-check 20 against the brute-force oracle
+    # 10^5 queries resolved in one plan, FULL equality vs a vectorized
+    # brute-force oracle.  Entry via knn_join: at this size it must
+    # auto-dispatch to the batch form (no driver convergence loop).
     rng = np.random.default_rng(99)
-    nq = 10_000
+    nq = 100_000
     qpdf = pd.DataFrame({
         "qid": np.arange(nq),
         "lon": rng.integers(-1_700_000_000, 1_700_000_000, nq),
         "lat": rng.integers(-750_000_000, 750_000_000, nq),
         "k": rng.choice([1, 3, 5], nq).astype(np.int64),
     })
-    out = SJ.knn_join_batch(calc, spark.createDataFrame(qpdf))
-    got = out.toPandas()
+    got = SJ.knn_join(calc, qpdf).toPandas() \
+        .sort_values(["qid", "rank"]).reset_index(drop=True)
     counts = got.groupby("qid")["rank"].max()
     assert len(counts) == nq
-    assert (counts.sort_index().values == qpdf.sort_values("qid").k.values).all()
-    for i in rng.choice(nq, 20, replace=False):
-        q = qpdf.iloc[int(i)]
-        d = K.haversine_m(images_pdf.lon.values, images_pdf.lat.values,
-                          int(q.lon), int(q.lat))
-        order = np.lexsort((images_pdf.image_id.values, d))[: int(q.k)]
-        exp_ids = images_pdf.image_id.iloc[order].tolist()
-        g = got[got.qid == q.qid].sort_values("rank")
-        assert g.image_id.tolist() == exp_ids, f"qid {q.qid}"
+    assert (counts.sort_index().values
+            == qpdf.sort_values("qid").k.values).all()
+    # oracle: image_id is zero-padded ("img{i:012d}") so the engine's
+    # (dist asc, image_id asc) tie-break equals (dist asc, index asc) —
+    # lexsort on (candidate index, distance) reproduces it exactly.
+    plon = images_pdf.lon.to_numpy(np.int64)
+    plat = images_pdf.lat.to_numpy(np.int64)
+    ids = images_pdf.image_id.to_numpy()
+    KW = 16  # candidate width; boundary guard below proves it suffices
+    exp_qid, exp_rank, exp_id = [], [], []
+    CH = 2000
+    for lo in range(0, nq, CH):
+        hi = min(nq, lo + CH)
+        d = K.haversine_m(plon[None, :], plat[None, :],
+                          qpdf.lon.values[lo:hi, None],
+                          qpdf.lat.values[lo:hi, None])
+        part = np.argpartition(d, KW, axis=1)[:, :KW + 1]
+        dsub = np.take_along_axis(d, part, axis=1)
+        for r in range(hi - lo):
+            k = int(qpdf.k.values[lo + r])
+            o = np.lexsort((part[r, :KW], dsub[r, :KW]))[:k]
+            # any excluded point is >= the partition boundary value; the
+            # kept k-th must be strictly below it or a cross-boundary
+            # distance tie could reorder by id
+            assert dsub[r][o[-1]] < dsub[r, KW]
+            exp_qid.extend([lo + r] * k)
+            exp_rank.extend(range(1, k + 1))
+            exp_id.extend(ids[part[r, :KW][o]])
+    exp = pd.DataFrame({"qid": exp_qid, "rank": exp_rank,
+                        "image_id": exp_id})
+    pd.testing.assert_frame_equal(
+        got[["qid", "rank", "image_id"]], exp, check_dtype=False)
 
 
 def test_knn_empty_region_expands(spark, calc):
