@@ -73,14 +73,26 @@ class Lineage:
         """Execute ``fn() -> DataFrame``, persist its output, record
         stage-level + per-partition lineage.  If the stage is already
         complete for this run_id, skip and return the stored output."""
+        from osmquadtree_rust_bindings_spark.progress import (
+            get_messenger,
+            job_progress,
+        )
+
         out_path = self.stage_path(stage)
         if self.stage_complete(stage):
+            get_messenger().message(
+                f"stage {stage}: already complete for run "
+                f"{self.run_id}, skipping")
             return spark.read.parquet(out_path)
         t0 = time.time()
         self._append({"run_id": self.run_id, "stage": stage,
                       "status": "running", "t_start": t0})
-        df = fn()
-        df.write.mode("overwrite").parquet(out_path)
+        # live task-level percent for this stage's Spark jobs (the
+        # reference's Messenger bridge, progress.py) — covers fn()'s own
+        # jobs plus the output materialization
+        with job_progress(spark, f"stage {stage}"):
+            df = fn()
+            df.write.mode("overwrite").parquet(out_path)
         back = spark.read.parquet(out_path)
         # per-partition (= per output file) lineage from the files themselves
         parts = (

@@ -377,7 +377,12 @@ def minhash_lsh_pairs(df: DataFrame, num_hashes: int = 16, bands: int = 4,
         # both self-join sides + the candidate-id restriction read this
         # one pass; below the threshold recomputation is cheaper than the
         # cache-materialization barrier (one fewer sequential job)
-        stacked = stacked.cache()
+        import os as _os
+        if _os.environ.get("OSMQT_BAND_STREAM_DISK") == "1":
+            from pyspark import StorageLevel
+            stacked = stacked.persist(StorageLevel.DISK_ONLY)
+        else:
+            stacked = stacked.cache()
     if max_bucket is not None:
         stacked = drop_hot_keys(stacked, "bucket", max_bucket)
     a = stacked.select(F.col(id_col).alias("id_a"), "bucket")
