@@ -225,34 +225,40 @@ def minhash_signatures(df: DataFrame, num_hashes: int = 16,
     return sh.groupBy(id_col).agg(*aggs)
 
 
-def _minhash_band_keys_arrow(df: DataFrame, num_hashes: int, bands: int,
-                             text: str, id_col: str, n: int) -> DataFrame:
+def _minhash_minima_arrow(df: DataFrame, num_hashes: int,
+                          text: str, id_col: str, n: int) -> DataFrame:
     """One Arrow pass per doc: text -> distinct n-gram shingles -> md5
-    word hashes -> ``num_hashes`` universal-hash minima -> ``bands``
-    md5-hashed band keys.  Bit-identical to the exploded-stream
-    formulation (same md5-hex-15 word hash, same (h*a+b) mod M minima,
-    same '{band}_{mh}_{mh}...' key strings hashed the same way), but with
-    ZERO shuffle before the candidate join: the legacy groupBy over the
-    exploded shingle stream wrote a 13 GB signature shuffle with 11.6 GB
-    of hash-agg spill at 10M docs.  Docs with no shingles emit no row
-    (they have no signature, matching the groupBy form).
-    Output: (id_col, bkeys array<long>)."""
+    word hashes -> ``num_hashes`` universal-hash minima.  Bit-identical
+    to the exploded-stream groupBy formulation (same md5-hex-15 word
+    hash — computed as ``digest()[:8] >> 4``, the integer equal of
+    ``int(hexdigest()[:15], 16)`` without the hex round trip — same
+    (h*a+b) mod M minima), but with ZERO shuffle before the candidate
+    join: the legacy groupBy over the exploded shingle stream wrote a
+    13 GB signature shuffle with 11.6 GB of hash-agg spill at 10M docs.
+    Band-key hashing is NOT done here: md5 over the N x bands key
+    strings is whole-stage-codegen work (:func:`_band_key_cols` applies
+    the exact legacy SQL expressions to ``mins``), and keeping it
+    JVM-side removed a 160M-iteration Python string+md5 loop measured
+    at ~1/3 of this kernel's wall at 10M docs.  Docs with no shingles
+    emit no row (they have no signature, matching the groupBy form).
+    Output: (id_col, mins array<long>[num_hashes])."""
     import hashlib
 
     import numpy as np
     import pandas as pd
     from pyspark.sql.types import ArrayType, LongType, StructField, StructType
 
-    rows = num_hashes // bands
     params = _hash_params(num_hashes)
     A = np.array([a for a, _ in params], dtype=np.int64)
     B = np.array([b for _, b in params], dtype=np.int64)
     M = 2147483647
     schema = StructType([df.schema[id_col],
-                         StructField("bkeys", ArrayType(LongType(), False),
+                         StructField("mins", ArrayType(LongType(), False),
                                      False)])
     # chunk so the (hashes x num_hashes) int64 intermediate stays small
     max_h = max(1, (48 << 20) // (8 * num_hashes))
+    md5 = hashlib.md5
+    ibytes = int.from_bytes
 
     def keys_fn(batches):
         for pdf in batches:
@@ -265,8 +271,9 @@ def _minhash_band_keys_arrow(df: DataFrame, num_hashes: int, bands: int,
                     continue
                 gr = dict.fromkeys(
                     " ".join(wsl[j:j + n]) for j in range(len(wsl) - n + 1))
-                hs = [int(hashlib.md5(g.encode("utf-8")).hexdigest()[:15],
-                          16) % M for g in gr]
+                # digest()[:8] big-endian >> 4 == first 15 hex digits
+                hs = [(ibytes(md5(g.encode("utf-8")).digest()[:8],
+                              "big") >> 4) % M for g in gr]
                 ids_all.append(i)
                 hs_all.extend(hs)
                 offs.append(len(hs_all))
@@ -285,16 +292,26 @@ def _minhash_band_keys_arrow(df: DataFrame, num_hashes: int, bands: int,
                 mins[lo:hi] = np.minimum.reduceat(
                     P, starts[lo:hi] - offs[lo], axis=0)
                 lo = hi
-            keys = np.empty((len(ids_all), bands), dtype=np.int64)
-            for d in range(len(ids_all)):
-                for b in range(bands):
-                    s = (str(b) + "_"
-                         + "_".join(map(str, mins[d, b*rows:(b+1)*rows])))
-                    keys[d, b] = int(
-                        hashlib.md5(s.encode("utf-8")).hexdigest()[:15], 16)
-            yield pd.DataFrame({id_col: ids_all, "bkeys": list(keys)})
+            yield pd.DataFrame({id_col: ids_all, "mins": list(mins)})
 
     return df.mapInPandas(keys_fn, schema)
+
+
+def _band_key_cols(mh_col, bands: int, rows: int) -> list:
+    """The ``bands`` band-key Columns over per-doc minhash values:
+    60-bit md5 of '{band}_{mh}_{mh}...' — ONE expression shared by the
+    legacy exploded-stream plan (``mh_col(i)`` = the agg column ``mh{i}``)
+    and the Arrow-kernel plan (``mh_col(i)`` = ``mins[i]``), so the two
+    branches are bit-identical by construction and the md5 runs in
+    whole-stage codegen either way."""
+    out = []
+    for b in range(bands):
+        cols = [mh_col(b * rows + r) for r in range(rows)]
+        concat = F.concat_ws("_", F.lit(str(b)),
+                             *[c.cast("string") for c in cols])
+        out.append(F.conv(F.substring(F.md5(concat), 1, 15), 16, 10)
+                   .cast("long"))
+    return out
 
 
 def minhash_lsh_pairs(df: DataFrame, num_hashes: int = 16, bands: int = 4,
@@ -315,21 +332,23 @@ def minhash_lsh_pairs(df: DataFrame, num_hashes: int = 16, bands: int = 4,
     band keys holding more than the cap are dropped before the self-join,
     bounding candidates at O(N x cap x bands).
 
-    ``arrow=True`` computes the per-doc band keys in one Arrow kernel
-    (:func:`_minhash_band_keys_arrow`) — bit-identical values, zero
+    ``arrow=True`` computes the per-doc minhash minima in one Arrow
+    kernel (:func:`_minhash_minima_arrow`) — bit-identical values, zero
     shuffle before the candidate join; ``arrow=False`` keeps the
     exploded-stream groupBy formulation the SQL oracle replays verbatim
-    (same output either way).  The default (``None``) picks by input
+    (same output either way; both feed the shared :func:`_band_key_cols`
+    codegen band-key expressions).  The default (``None``) picks by input
     size: legacy below ``ARROW_MIN_BYTES`` (the kernel's Python md5 cost
     dominates small inputs), Arrow above it (the shuffle it removes
     dominates large ones) — measurements at the constant's definition.
 
-    Cache ownership: on the big path the band stream is ``.cache()``d so
-    the self-join sides and the candidate-id restriction share one pass.
-    The returned DataFrame is lazy, so this function cannot unpersist it;
-    CALLERS running many invocations in one long-lived session own the
-    cleanup (``spark.catalog.clearCache()`` after materializing, as the
-    corpus bench does) or the cached multi-GB streams accumulate."""
+    Cache ownership: on the big path the band stream is ``.cache()``d
+    (both self-join sides read it) and the candidate table is persisted
+    MEMORY_AND_DISK (verify join + id restriction read it).  The returned
+    DataFrame is lazy, so this function cannot unpersist either; CALLERS
+    running many invocations in one long-lived session own the cleanup
+    (``spark.catalog.clearCache()`` after materializing, as the corpus
+    bench does) or the cached multi-GB streams accumulate."""
     rows = num_hashes // bands
     # scale-safe when the estimate is unknown: treat as big
     big = (_plan_size_bytes(df) or ARROW_MIN_BYTES) >= ARROW_MIN_BYTES
@@ -352,27 +371,19 @@ def minhash_lsh_pairs(df: DataFrame, num_hashes: int = 16, bands: int = 4,
     # collision could only add a candidate, which exact verification then
     # filters by the same rule the oracle replays).
     if arrow:
-        keyed = _minhash_band_keys_arrow(df, num_hashes, bands, text,
-                                         id_col, n)
-        stacked = keyed.select(
-            F.col(id_col), F.explode("bkeys").alias("bucket"))
+        keyed = _minhash_minima_arrow(df, num_hashes, text, id_col, n)
+        bucket_cols = _band_key_cols(lambda i: F.col("mins")[i],
+                                     bands, rows)
     else:
         # no cache: the signature agg is the stream's only consumer now
         # that the verify sets are a direct per-doc projection below
-        sig = minhash_signatures(df, num_hashes, text, id_col, n)
-        # all band keys in ONE pass: explode of an array projection
-        # instead of a bands-way union (which scanned the signature
-        # table per band)
-        bucket_cols = []
-        for b in range(bands):
-            cols = [F.col(f"mh{b * rows + r}") for r in range(rows)]
-            concat = F.concat_ws("_", F.lit(str(b)),
-                                 *[c.cast("string") for c in cols])
-            bucket_cols.append(
-                F.conv(F.substring(F.md5(concat), 1, 15), 16, 10)
-                .cast("long"))
-        stacked = sig.select(
-            F.col(id_col), F.explode(F.array(*bucket_cols)).alias("bucket"))
+        keyed = minhash_signatures(df, num_hashes, text, id_col, n)
+        bucket_cols = _band_key_cols(lambda i: F.col(f"mh{i}"),
+                                     bands, rows)
+    # all band keys in ONE pass: explode of an array projection instead
+    # of a bands-way union (which scanned the signature table per band)
+    stacked = keyed.select(
+        F.col(id_col), F.explode(F.array(*bucket_cols)).alias("bucket"))
     if big:
         # both self-join sides + the candidate-id restriction read this
         # one pass; below the threshold recomputation is cheaper than the
@@ -393,50 +404,56 @@ def minhash_lsh_pairs(df: DataFrame, num_hashes: int = 16, bands: int = 4,
     )
     if verify_threshold is None:
         return cand
+    if big:
+        # the candidate table is read twice below (verify join + the id
+        # restriction); persisting it stops the bucket self-join from
+        # re-running in the restriction branch.  MEMORY_AND_DISK: size
+        # is hot-capped at O(N x max_bucket x bands) pairs, spill-safe.
+        from pyspark import StorageLevel
+        cand = cand.persist(StorageLevel.MEMORY_AND_DISK)
     # verify ONLY the candidates (never the all-pairs join): per-doc
     # shingle-SET arrays + array_intersect, so the verify join carries
     # O(candidates) rows instead of the O(candidates x doc_len) postings
     # explosion of a join-on-shingle formulation (measured 2.5x on the
     # bench corpus; at 100 TB the postings intermediate is the largest
-    # shuffle of the whole pipeline).  Same cached shingle stream the
-    # signatures were built from; identical (inter, union) values either
-    # way, so the SQL oracle's postings replay still matches hash-exact.
+    # shuffle of the whole pipeline).  Identical (inter, union) values
+    # either way, so the SQL oracle's postings replay matches hash-exact.
     #
     # Restrict the set build to docs that actually appear in a candidate
-    # pair BEFORE the collect_set: the full-corpus set build shuffled the
-    # entire shingle stream a second time (measured disk-full at 10M docs
-    # — the collect_set shuffle carries every shingle string with no
-    # map-side reduction), while candidates reference only a fraction of
-    # the corpus.  The candidate-id set is derived WITHOUT the pair join:
-    # a doc appears in a candidate pair iff it sits in a (hot-capped)
-    # bucket of size >= 2 — every member of such a bucket pairs with
-    # another under id_a < id_b, and every pair shares such a bucket — so
-    # one count-aggregate over the cached band stream yields exactly the
-    # ids the verify join will touch, keeping the broadcast branch
-    # shallow (no second self-join + pair distinct) at any scale.  The id
-    # set is bounded by the capped pair count x 2, so it broadcasts, and
-    # the shingle stream reaches the set groupBy unshuffled.
-    # the set is computable per doc straight from the text (same
-    # gram_set_col the shingle stream explodes) — no explode +
-    # collect_set round trip at all, just a projection.  Shared by both
-    # branches: it removes the legacy form's collect_set shuffle AND the
-    # cache whose only remaining consumer that shuffle was (identical
-    # sets either way — collect_set of the exploded distinct grams IS
-    # the distinct gram array).  Below the size threshold the candidate
-    # restriction itself is skipped: its two sequential broadcast jobs
-    # cost more than projecting every doc's gram set, and non-candidate
-    # set rows simply never match the verify join.
+    # pair: candidates reference only a fraction of the corpus, and the
+    # full-corpus set build shuffled every doc's gram array (measured
+    # disk-full at 10M docs in the collect_set formulation).  The id set
+    # comes from the PERSISTED candidate table itself — explode + distinct
+    # over O(pairs) rows.  The earlier bucket-occupancy derivation
+    # (groupBy bucket having count>=2, then a semi-join back) computed the
+    # identical set but paid two more full passes over the N x bands band
+    # stream — at 10M docs those two 160M-row jobs (the groupBy's keys are
+    # mostly unique, so map-side combine removed nothing) were the bulk of
+    # a 225s verify phase.  The id set is bounded by the capped pair count
+    # x 2, so it broadcasts.  The gram set is computable per doc straight
+    # from the text (same gram_set_col the shingle stream explodes) — no
+    # explode + collect_set round trip, just a projection.  Grams are
+    # hashed to the 60-bit md5 word-hash ints the signatures already use:
+    # array_intersect on fixed-width longs instead of ~12-char strings
+    # (equal grams hash equal; an intra-doc collision — the only event
+    # that could change an (inter, union) value — needs two of a doc's
+    # ~40 grams to share 60 bits, P ~ 2^-50 per corpus, and the SQL
+    # oracle replays the same hashed formulation).  Below the size
+    # threshold the candidate restriction is skipped: its sequential
+    # broadcast jobs cost more than projecting every doc's gram set, and
+    # non-candidate set rows simply never match the verify join.
     if big:
-        multi = (stacked.groupBy("bucket")
-                 .agg(F.count(F.lit(1)).alias("__m"))
-                 .filter(F.col("__m") >= 2).select("bucket"))
-        cand_ids = (stacked.join(F.broadcast(multi), "bucket", "left_semi")
-                    .select(id_col).distinct())
+        cand_ids = (cand.select(F.explode(F.array("id_a", "id_b"))
+                                .alias(id_col)).distinct())
         sets = df.join(F.broadcast(cand_ids), id_col, "left_semi")
     else:
         sets = df
-    sets = sets.select(F.col(id_col),
-                       gram_set_col(F.col(text), n).alias("__ss"))
+    sets = sets.select(
+        F.col(id_col),
+        F.transform(
+            gram_set_col(F.col(text), n),
+            lambda g: F.conv(F.substring(F.md5(g), 1, 15), 16, 10)
+            .cast("long")).alias("__ss"))
     sa = sets.select(F.col(id_col).alias("id_a"), F.col("__ss").alias("__sa"))
     sb = sets.select(F.col(id_col).alias("id_b"), F.col("__ss").alias("__sb"))
     thr_num = int(round(verify_threshold * 1000))
