@@ -243,13 +243,19 @@ def _spark_submit_bin() -> str:
 
 
 def _stage_mem(stage: str, docs: int) -> str:
-    """Per-stage heap — the operator working-set contract (measured, see
-    module docstring): minhash_lsh_pairs executor memory must track
-    ~(docs x bands x 16B cached band stream + shuffle working set) /
-    cores; every other stage is a streaming agg happiest at the 16g
-    session default."""
-    if stage == "minhash_lsh_pairs" and docs >= 10_000_000:
-        return os.environ.get("SPARK_MINHASH_MEM", "48g")
+    """Per-stage heap.  One size (16g) fits every stage since the minhash
+    band-key split (commit 8059530): the pre-split operator needed 48g at
+    >=10M docs (16g GC-thrashed 870s vs 516s at 20M — the Python band-key
+    kernel's 160M string allocations plus two extra band-stream passes in
+    verify), but post-split the same fresh-JVM A/B INVERTS: 16g is linear
+    10M->20M (377s -> 785s) and 48g is the unstable choice (618-794s
+    variance at 10M, 688s at 20M — within 1.14x of 16g).  G1 with a heap
+    far above the working set defers old-gen collection into storms; the
+    16g contract a cluster user should size to is
+    ~(docs x bands x 8B band-key stream / cores) + shuffle buffers.
+    SPARK_MINHASH_MEM remains an override for re-probing."""
+    if stage == "minhash_lsh_pairs" and "SPARK_MINHASH_MEM" in os.environ:
+        return os.environ["SPARK_MINHASH_MEM"]
     return os.environ.get("SPARK_DRIVER_MEM", "16g")
 
 
