@@ -170,8 +170,13 @@ def _stage_df(spark, stage: str, args):
         # doubling (measured: 94s at 10M -> 618s + 43 GB join spill at
         # 20M for ~570M background candidates).  chunks=4 switches to the
         # multi-index pigeonhole (6 two-chunk 30-bit keys/doc): occupancy
-        # N/2^30, identical verified pairs.
-        sh_chunks = 4 if args.docs > 10_000_000 else None
+        # N/2^30, identical verified pairs.  The crossover is already
+        # BELOW 10M: fresh-JVM A/B at 10M docs, alternating runs, gives
+        # multi 89.9s vs classic 142.9/157.9s with the identical
+        # 1,261,556 pairs, so the switch sits at >=10M (the measured
+        # point; 2M-10M classic occupancy <=10/bucket is benign and
+        # unmeasured for multi, so classic is retained there).
+        sh_chunks = 4 if args.docs >= 10_000_000 else None
         return DD.simhash_dup_pairs(docs, bits=sh_bits, max_hamming=2,
                                     max_bucket=500, chunks=sh_chunks)
     if stage == "text_quality_kept":
