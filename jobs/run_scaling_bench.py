@@ -134,7 +134,10 @@ def main() -> None:
     from osmquadtree_rust_bindings_spark.session import get_spark
     from osmquadtree_rust_bindings_spark.sources import images as I
 
-    if not os.path.exists(CORPUS):
+    # _SUCCESS, not the bare dir: an interrupted overwrite leaves an empty
+    # directory that would silently skip regeneration and feed the levels
+    # a corpus with no files
+    if not os.path.exists(os.path.join(CORPUS, "_SUCCESS")):
         spark = get_spark("local[32]", app_name="osmqt-scaling-gen")
         spark.sparkContext.setLogLevel("ERROR")
         I.generate_images(spark, N_IMAGES, num_partitions=256,
