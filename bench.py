@@ -33,7 +33,9 @@ HEADLINE = [
     "s14_tile_counts",      # tiling aggregation
     "j11_bbox_join",        # spatial joins (join rows)
     "j9_pip_join",
-    "j10_knn_join",
+    "j10_knn_join",         # r04+: times the BATCH form (gate switched per
+                            # round-3 review) — ~+0.5s vs the r03 loop form
+                            # at 10 queries by design (README perf rule 17)
     "j12_raster_vector",
     "j1_semi_join_cascade",
     "j6_diff_summary",
