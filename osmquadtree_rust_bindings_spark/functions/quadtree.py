@@ -39,12 +39,18 @@ def _with_spread_steps(df: DataFrame, cols: list[str]) -> DataFrame:
     """Apply the 5 spread steps to ``cols`` in place as 5 chained
     projections.  Each step's expression references its input twice and is
     non-cheap, so CollapseProject keeps the projections separate and every
-    step is code-generated exactly once per column."""
+    step is code-generated exactly once per column.
+
+    The step expressions are built as sqlgen strings parsed JVM-side in one
+    ``F.expr`` call each: the Column-operator form made ~14 py4j round
+    trips per step per column, and driver-side plan construction — a
+    constant, data-independent cost — dominated the sf0.1 gate wall
+    (with_bbox_qt built in 0.81s warm vs 0.75s to EXECUTE it over 457k
+    rows).  Parsed and operator-built trees analyze identically; the qt
+    unit tests pin all forms bit-exact against the numpy kernels."""
     for shift, mask in _SPREAD_STEPS:
         df = df.withColumns({
-            c: (F.col(c).bitwiseOR(F.shiftleft(F.col(c), shift)))
-            .bitwiseAND(F.lit(mask))
-            for c in cols
+            c: F.expr(sqlgen.spread_step(c, shift, mask)) for c in cols
         })
     return df
 
@@ -115,16 +121,20 @@ def qt_key_range_pred(qt_col: Column, prefix_qt: int) -> Column:
 
 def with_point_qt(df: DataFrame, lon: str, lat: str,
                   depth: int = MAX_DEPTH, out: str = "qt") -> DataFrame:
-    """Append the point calc_qts key — pure Column math, no UDF."""
+    """Append the point calc_qts key — pure Column math, no UDF.
+
+    Expressions arrive as sqlgen strings (the texts the DuckDB oracle and
+    the unit tests already pin bit-exact against the numpy kernels), parsed
+    JVM-side in one call per projection — see :func:`_with_spread_steps`
+    for why plan-construction time matters."""
     df = df.withColumns({
-        "__sx": grid_index(x_norm(F.col(lon)), depth),
-        "__sy": grid_index(y_norm(F.col(lat)), depth),
+        "__sx": F.expr(sqlgen.grid_index(sqlgen.x_norm(lon), depth)),
+        "__sy": F.expr(sqlgen.grid_index(sqlgen.y_norm(lat), depth)),
     })
     df = _with_spread_steps(df, ["__sx", "__sy"])
-    morton = F.shiftleft(F.col("__sx"), 1).bitwiseOR(F.col("__sy"))
-    return df.withColumn(
-        out, F.shiftleft(morton, 63 - 2 * depth).bitwiseOR(F.lit(depth))
-    ).drop("__sx", "__sy")
+    return df.withColumn(out, F.expr(
+        f"shiftleft(shiftleft(__sx, 1) | __sy, {63 - 2 * depth}) | {depth}"
+    )).drop("__sx", "__sy")
 
 
 def units(norm: Column) -> Column:
@@ -145,48 +155,48 @@ def with_bbox_qt(df: DataFrame, minlon: str, minlat: str, maxlon: str,
     whole-stage codegen — no shuffle, no Python worker.
     """
     df = df.withColumns({
-        "__x0": units(x_norm(F.col(minlon))),
-        "__x1": units(x_norm(F.col(maxlon))),
-        "__y0": units(y_norm(F.col(minlat))),
-        "__y1": units(y_norm(F.col(maxlat))),
+        "__x0": F.expr(sqlgen.units(sqlgen.x_norm(minlon))),
+        "__x1": F.expr(sqlgen.units(sqlgen.x_norm(maxlon))),
+        "__y0": F.expr(sqlgen.units(sqlgen.y_norm(minlat))),
+        "__y1": F.expr(sqlgen.units(sqlgen.y_norm(maxlat))),
     }).withColumns({
-        "__mx": F.shiftright(F.col("__x0") + F.col("__x1"), 1),
-        "__my": F.shiftright(F.col("__y0") + F.col("__y1"), 1),
+        "__mx": F.expr("shiftright(__x0 + __x1, 1)"),
+        "__my": F.expr("shiftright(__y0 + __y1, 1)"),
     })
-    mx, my = F.col("__mx"), F.col("__my")
-    x0, x1, y0, y1 = (F.col(c) for c in ("__x0", "__x1", "__y0", "__y1"))
     # The buffered cells containing the (fixed) midpoint are nested across
     # depths, so the per-level containment test is monotone: cond_{k+1}
     # implies cond_k.  The descent therefore collapses to a SUM of
     # independent per-level predicates — linear-size expression, stays in
     # whole-stage codegen (a chained when/otherwise recurrence blows the
     # janino 64KB method limit and silently falls back to interpreted mode).
-    depth = F.lit(0)
+    # Built as ONE sqlgen string: the Column-operator loop made ~10 py4j
+    # round trips per level and plan construction (0.81s warm at depth 18)
+    # exceeded the query's own execution time at sf0.1.
+    terms = []
     for k in range(max_depth):
         s = UNITS >> (k + 1)
         b = s // BUF_DEN
-        ox = F.floor(mx / s).cast("long") * s
-        oy = F.floor(my / s).cast("long") * s
-        ok = (
-            (x0 >= ox - b) & (x1 <= ox + (s + b))
-            & (y0 >= oy - b) & (y1 <= oy + (s + b))
+        ox = f"(floor(__mx / {s}) * {s})"
+        oy = f"(floor(__my / {s}) * {s})"
+        terms.append(
+            f"cast((__x0 >= {ox} - {b} and __x1 <= {ox} + {s + b}"
+            f" and __y0 >= {oy} - {b} and __y1 <= {oy} + {s + b}) as int)"
         )
-        depth = depth + ok.cast("int")
+    depth_sql = " + ".join(terms) if terms else "0"
     # The midpoint's depth-d cell is an ancestor of its max-depth cell, so
     # the final key is round(qt_maxdepth(midpoint), depth): the morton
     # spread runs ONCE on the max-depth cell index (as chained projections)
     # instead of on a dynamic floor(mx / (UNITS >> depth)).
     s18 = UNITS >> max_depth
     df = df.withColumns({
-        "__sbx": F.floor(mx / s18).cast("long"),
-        "__sby": F.floor(my / s18).cast("long"),
-        "__fd": depth,
+        "__sbx": F.expr(f"cast(floor(__mx / {s18}) as bigint)"),
+        "__sby": F.expr(f"cast(floor(__my / {s18}) as bigint)"),
+        "__fd": F.expr(depth_sql),
     })
     df = _with_spread_steps(df, ["__sbx", "__sby"])
-    qt_full = F.shiftleft(
-        F.shiftleft(F.col("__sbx"), 1).bitwiseOR(F.col("__sby")),
-        63 - 2 * max_depth).bitwiseOR(F.lit(max_depth))
-    df = df.withColumn("__qtf", qt_full)
+    df = df.withColumn("__qtf", F.expr(
+        f"shiftleft(shiftleft(__sbx, 1) | __sby, {63 - 2 * max_depth})"
+        f" | {max_depth}"))
     # round(__qtf, __fd) with a dynamic shift (SQL shiftleft takes a column
     # count) — __fd is referenced 2x, still linear overall.
     qt = F.expr(
