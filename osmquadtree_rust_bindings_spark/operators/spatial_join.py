@@ -163,7 +163,7 @@ def pip_join(points: DataFrame, polygons_pdf: pd.DataFrame,
 # --------------------------------------------------------------- J10 kNN
 
 def knn_join(points: DataFrame, queries_pdf: pd.DataFrame,
-             point_id: str = "image_id", level: int = 6,
+             point_id: str = "image_id", level: int | None = None,
              qt_point: str = "qt_point", max_rounds: int = 8,
              batch_threshold: int = 1000) -> DataFrame:
     """k nearest points per query: ring-expansion cover join + exact
@@ -172,7 +172,10 @@ def knn_join(points: DataFrame, queries_pdf: pd.DataFrame,
 
     Mercator cells are locally square, so a point outside the Chebyshev-r
     ring around the query's level-L cell is at least
-    r * (2*pi*R / 2^L) * min(cos(lat)) meters away — the per-round guarantee.
+    min(r * (2*pi*R / 2^L) * min(cos(lat)), R * asin(cos(lat_q) *
+    sin(r * 2*pi / 2^L))) meters away — the per-round guarantee
+    (meridional band term + exact zonal cross-track term; see
+    :func:`knn_join_batch` for the derivation).
     Each round only re-runs unsatisfied queries with doubled r; the points
     side is probed via a broadcast (cell -> qid) expansion, so every round
     is one broadcast join + window over candidates, no cross join ever.
@@ -182,15 +185,23 @@ def knn_join(points: DataFrame, queries_pdf: pd.DataFrame,
     queries (few rounds, tiny collects).  At ``batch_threshold`` queries
     and above it auto-dispatches to :func:`knn_join_batch`, the single-plan
     form with no driver materialization at all (identical output — pinned
-    by tests and the shared driver gate)."""
+    by tests and the shared driver gate).
+
+    ``level=None`` picks the form's own default: 6 for the loop (coarse
+    cells keep the doubling-ring convergence within ``max_rounds`` even
+    for empty regions), 8 for the batch form (finer cells bound the
+    candidate fan-out — the exact result is level-independent)."""
     from pyspark.sql.window import Window
 
     spark = points.sparkSession
     if len(queries_pdf) >= batch_threshold:
+        kwargs = {} if level is None else {"level": level}
         return knn_join_batch(
             points, spark.createDataFrame(
                 queries_pdf[["qid", "lon", "lat", "k"]]),
-            point_id=point_id, level=level, qt_point=qt_point)
+            point_id=point_id, qt_point=qt_point, **kwargs)
+    if level is None:
+        level = 6
     sh = 63 - 2 * level  # compact cell index — see bbox_join
     pts = points.withColumn(
         "cell_knn", F.shiftrightunsigned(F.col(qt_point), sh)).select(
@@ -249,8 +260,18 @@ def knn_join(points: DataFrame, queries_pdf: pd.DataFrame,
             y_edge = max(abs(2.0 * ((iy - r) / float(n)) - 1.0),
                          abs(2.0 * ((iy + r + 1) / float(n)) - 1.0))
             lat_edge = K.inv_merc_y(min(y_edge, 1.0))
-            guarantee = r * (2 * np.pi * 6_371_000.0 / float(n)) * \
-                np.cos(np.radians(min(abs(float(lat_edge)), 89.9)))
+            cos_e = np.cos(np.radians(min(abs(float(lat_edge)), 89.9)))
+            # exclusion lower bound, exact in both axes (see
+            # knn_join_batch): meridional r*C*cos_e plus the zonal
+            # cross-track term R*asin(cos(lat_q)*sin(dlam)) — the
+            # linear r*C*cos_e alone overestimates the zonal minimum
+            # once the ring spans a sizable longitude arc
+            r_earth = 6_371_000.0
+            cos_q = np.cos(np.radians(row.lat / float(K.COORD_SCALE)))
+            mer = r * (2 * np.pi * r_earth / float(n)) * cos_e
+            zon = r_earth * np.arcsin(cos_q * np.sin(
+                min(r * 2 * np.pi / float(n), np.pi / 2)))
+            guarantee = min(mer, zon)
             if r >= int(n):  # ring covers the whole grid: take what exists
                 sat_ids.append(row.qid)
             elif g is not None and g.found >= row.k and g.kth <= guarantee:
@@ -268,7 +289,7 @@ def knn_join(points: DataFrame, queries_pdf: pd.DataFrame,
 
 
 def knn_join_batch(points: DataFrame, queries: DataFrame,
-                   point_id: str = "image_id", level: int = 6,
+                   point_id: str = "image_id", level: int = 8,
                    qt_point: str = "qt_point") -> DataFrame:
     """J10 at batch scale: identical results to :func:`knn_join`, but ALL
     queries resolve in ONE plan — no driver convergence loop, no
@@ -288,13 +309,26 @@ def knn_join_batch(points: DataFrame, queries: DataFrame,
     3. one equi-join points -> ring cells -> queries plus one window
        re-rank, exactly knn_join's refine.
 
-    The guarantee that makes the single pass exact: every point outside
-    the Chebyshev-``r`` ring is at least ``r * C * cos(ring-edge lat)``
-    ground meters away (C = 2piR/2^level), while the k points inside the
-    radius-``r_k`` box are at most ``(r_k+1) * sqrt2 * C`` away (mercator
-    planar length at the equator bounds ground length, cos <= 1), so any
-    ``r`` with ``r * cos_edge >= (r_k+1) * sqrt2`` closes the search —
-    per query, in one shot instead of knn_join's doubling rounds.
+    The guarantee that makes the single pass exact: the k points inside
+    the radius-``r_k`` box are at most ``(r_k+1) * sqrt2 * C * cos_box``
+    ground meters away (C = 2piR/2^level) — the ground length of the
+    straight mercator segment is its planar length times ``C *
+    cos(lat)`` integrated along it, and cos is maximized at the box edge
+    nearest the equator (``cos_box``).  Every point OUTSIDE the
+    Chebyshev-``r`` ring is at least ``min(r * C * cos(ring-edge lat),
+    R * asin(cos(lat_q) * sin(r * 2pi/2^level)))`` away — the meridional
+    term integrates cos over the ring's own latitude band; the zonal
+    term is the exact cross-track distance from the query to the
+    bounding meridian (the linear ``r * C * cos`` form overestimates it
+    once the ring spans a sizable longitude arc, since ``asin(c sin x)
+    <= c x``).  Any ``r`` whose exclusion bound reaches the candidate
+    bound closes the search — per query, in one shot instead of
+    knn_join's doubling rounds.  Scaling the candidate bound by
+    ``cos_box`` (instead of the equatorial worst case ``cos_box = 1``)
+    matters enormously at latitude: without it ``r`` inflates by
+    ~1/cos(lat) — measured rf p99 of 17 vs 3 at |lat| <= 75 deg on the
+    sf0.1 fixture, a ~30x candidate-volume difference
+    (BENCH/knn_crossover.json).
     """
     from pyspark.sql.window import Window
 
@@ -344,7 +378,9 @@ def knn_join_batch(points: DataFrame, queries: DataFrame,
             cxs = np.clip(np.floor(x * n).astype(np.int64), 0, n - 1)
             cys = np.clip(np.floor(y * n).astype(np.int64), 0, n - 1)
             out_q, out_c = [], []
-            for qid, cx, cy, k in zip(qb["qid"].tolist(), cxs, cys, ks):
+            for qid, cx, cy, k, qlat_deg in zip(
+                    qb["qid"].tolist(), cxs, cys, ks,
+                    qlat / float(K.COORD_SCALE)):
                 cx, cy = int(cx), int(cy)
                 if total < k:
                     rf = n  # take what exists: whole grid
@@ -352,15 +388,36 @@ def knn_join_batch(points: DataFrame, queries: DataFrame,
                     rk = 0
                     while box_count(ig, cx, cy, rk) < k:
                         rk += 1
-                    need = (rk + 1) * np.sqrt(2.0)
-                    rf = int(np.ceil(need))
+                    # candidate-distance bound, latitude-tight: cos is
+                    # maximized at the rk-box edge nearest the equator
+                    # (cos_box = 1 when the box straddles it)
+                    e0 = 2.0 * (cy - rk) / n - 1.0
+                    e1 = 2.0 * (cy + rk + 1) / n - 1.0
+                    if e0 <= 0.0 <= e1:
+                        cos_box = 1.0
+                    else:
+                        lat_box = K.inv_merc_y(min(abs(e0), abs(e1)))
+                        cos_box = np.cos(np.radians(abs(float(lat_box))))
+                    need = (rk + 1) * np.sqrt(2.0) * cos_box
+                    cos_q = np.cos(np.radians(qlat_deg))
+                    rf = max(1, int(np.ceil(need)))
                     while rf < n:
                         y_edge = max(abs(2.0 * ((cy - rf) / n) - 1.0),
                                      abs(2.0 * ((cy + rf + 1) / n) - 1.0))
                         lat_edge = K.inv_merc_y(min(y_edge, 1.0))
                         cos_e = np.cos(np.radians(
                             min(abs(float(lat_edge)), 89.9)))
-                        if rf * cos_e >= need:
+                        # exclusion lower bound, exact in both axes:
+                        # meridional rf*cos_e cells; zonal via the
+                        # cross-track formula R*asin(cos(lat_q)*sin(dlam))
+                        # — the linear rf*cos form OVERestimates the
+                        # zonal minimum for rings spanning a sizable
+                        # longitude arc (asin(c*sin x) <= c*x)
+                        mer = rf * cos_e
+                        zon = (n / (2.0 * np.pi)) * np.arcsin(
+                            cos_q * np.sin(min(rf * 2.0 * np.pi / n,
+                                               np.pi / 2.0)))
+                        if min(mer, zon) >= need:
                             break
                         rf += 1
                 rf = min(rf, n)

@@ -142,6 +142,53 @@ def test_knn_join_batch_large_query_set(spark, calc, images_pdf):
         got[["qid", "rank", "image_id"]], exp, check_dtype=False)
 
 
+def test_knn_high_latitude_sparse_exact(spark):
+    # regression for the latitude-tight ring bounds (README perf rule 18):
+    # sparse points confined to |lat| in [75, 84.5] deg force wide rings
+    # whose exclusion test is decided by the zonal cross-track term
+    # R*asin(cos(lat_q)*sin(dlam)) — the regime where the old linear
+    # bound's slack (equator-scale `need`) used to hide its
+    # overestimate.  Both forms must equal brute force exactly.
+    from osmquadtree_rust_bindings_spark.functions import quadtree as Q
+
+    rng = np.random.default_rng(7)
+    npts = 300
+    lat_deg = rng.uniform(75.0, 84.5, npts) * rng.choice([-1, 1], npts)
+    pdf = pd.DataFrame({
+        "pid": [f"p{i:06d}" for i in range(npts)],
+        "lon": rng.integers(-1_799_999_999, 1_800_000_000, npts),
+        "lat": np.round(lat_deg * 1e7).astype(np.int64),
+    })
+    pts = Q.with_point_qt(spark.createDataFrame(pdf), "lon", "lat", 18,
+                          out="qt_point")
+    nq = 40
+    qlat = rng.uniform(76.0, 84.0, nq) * rng.choice([-1, 1], nq)
+    qpdf = pd.DataFrame({
+        "qid": np.arange(nq),
+        "lon": rng.integers(-1_799_999_999, 1_800_000_000, nq),
+        "lat": np.round(qlat * 1e7).astype(np.int64),
+        "k": np.tile(np.array([1, 5, 10], dtype=np.int64),
+                     (nq + 2) // 3)[:nq],
+    })
+    exp_rows = []
+    for q in qpdf.itertuples(index=False):
+        d = K.haversine_m(pdf.lon.values, pdf.lat.values, q.lon, q.lat)
+        order = np.lexsort((pdf.pid.values, d))[: q.k]
+        exp_rows.extend((q.qid, r + 1, pdf.pid.iloc[j])
+                        for r, j in enumerate(order))
+    exp = pd.DataFrame(exp_rows, columns=["qid", "rank", "pid"]) \
+        .sort_values(["qid", "rank"]).reset_index(drop=True)
+    loop = SJ.knn_join(pts, qpdf, point_id="pid").toPandas() \
+        .sort_values(["qid", "rank"]).reset_index(drop=True)
+    batch = SJ.knn_join_batch(pts, spark.createDataFrame(qpdf),
+                              point_id="pid").toPandas() \
+        .sort_values(["qid", "rank"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        loop[["qid", "rank", "pid"]], exp, check_dtype=False)
+    pd.testing.assert_frame_equal(
+        batch[["qid", "rank", "pid"]], exp, check_dtype=False)
+
+
 def test_knn_empty_region_expands(spark, calc):
     # a query at an extreme corner (few points nearby) must still return k
     q = pd.DataFrame({"qid": [0], "lon": [-1_799_000_000],
