@@ -33,7 +33,7 @@ import pandas as pd
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-COUNTS = [10, 100, 1_000, 10_000, 100_000]
+COUNTS = [10, 100, 1_000, 10_000, 100_000, 1_000_000]
 LOOP_MAX = 10_000
 REPS = 2
 OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),

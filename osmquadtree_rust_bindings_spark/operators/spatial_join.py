@@ -65,14 +65,25 @@ def bbox_cover_cells(minlon, minlat, maxlon, maxlat,
 
 def bbox_join(points: DataFrame, boxes_pdf: pd.DataFrame,
               point_id: str = "image_id", depth: int = COVER_DEPTH,
-              qt_point: str = "qt_point") -> DataFrame:
+              qt_point: str = "qt_point",
+              batch_threshold: int = 10_000) -> DataFrame:
     """(qid, point_id) pairs where the point lies in the query box
     (closed intervals, reference bbox.contains_point semantics).
 
     Cover: broadcast (cell, qid[, box]) expansion joined on the point's
     depth-``depth`` ancestor cell; refine: pure Column interval predicate.
+
+    The driver-side cover expansion + forced broadcast is the
+    small-box-set contract; at ``batch_threshold`` boxes and above it
+    auto-dispatches to :func:`bbox_join_batch` (identical output), which
+    emits cover cells executor-side and lets AQE pick the join strategy.
     """
     spark = points.sparkSession
+    if len(boxes_pdf) >= batch_threshold:
+        return bbox_join_batch(
+            points, spark.createDataFrame(
+                boxes_pdf[["qid", "minlon", "minlat", "maxlon", "maxlat"]]),
+            point_id=point_id, depth=depth, qt_point=qt_point)
     cov = bbox_cover_cells(boxes_pdf.minlon.values, boxes_pdf.minlat.values,
                            boxes_pdf.maxlon.values, boxes_pdf.maxlat.values,
                            depth)
@@ -89,6 +100,54 @@ def bbox_join(points: DataFrame, boxes_pdf: pd.DataFrame,
         "cell_cov", F.shiftrightunsigned(F.col(qt_point), sh))
     return (
         pts.join(F.broadcast(cov_df), "cell_cov")
+        .filter(
+            (F.col("lon") >= F.col("minlon")) & (F.col("lon") <= F.col("maxlon"))
+            & (F.col("lat") >= F.col("minlat")) & (F.col("lat") <= F.col("maxlat"))
+        )
+        .select("qid", point_id)
+    )
+
+
+def bbox_join_batch(points: DataFrame, boxes: DataFrame,
+                    point_id: str = "image_id", depth: int = COVER_DEPTH,
+                    qt_point: str = "qt_point") -> DataFrame:
+    """J11 at batch scale: identical results to :func:`bbox_join`, but the
+    box set is a DataFrame and the cover expansion runs executor-side
+    (mapInPandas over box partitions — the same shape as
+    :func:`knn_join_batch`'s ring stage), so 10^6+ boxes never touch the
+    driver and nothing forces a broadcast: AQE picks broadcast vs
+    shuffle from the cover stream's true size, and its skew-join split
+    handles a hot cover cell (many boxes stacked over one cell).
+
+    The box bounds ride along in the cover stream (a few extra int64
+    columns on ~4 rows/box), which keeps the plan a single equi-join +
+    Column refine — no second join back to the box table.
+    """
+    sh = 63 - 2 * depth  # compact cell index — see bbox_join
+
+    def covers(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            cov = bbox_cover_cells(b.minlon.values, b.minlat.values,
+                                   b.maxlon.values, b.maxlat.values, depth)
+            idx = np.fromiter((i for i, _ in cov), np.int64, len(cov))
+            cells = np.fromiter((c for _, c in cov), np.int64, len(cov))
+            yield pd.DataFrame({
+                "qid": b.qid.values[idx],
+                "cell_cov": cells >> np.int64(sh),
+                "minlon": b.minlon.values[idx],
+                "minlat": b.minlat.values[idx],
+                "maxlon": b.maxlon.values[idx],
+                "maxlat": b.maxlat.values[idx],
+            })
+
+    cov_df = boxes.select("qid", "minlon", "minlat", "maxlon",
+                          "maxlat").mapInPandas(
+        covers, schema="qid long, cell_cov long, minlon long, minlat long,"
+                       " maxlon long, maxlat long")
+    pts = points.withColumn(
+        "cell_cov", F.shiftrightunsigned(F.col(qt_point), sh))
+    return (
+        pts.join(cov_df, "cell_cov")
         .filter(
             (F.col("lon") >= F.col("minlon")) & (F.col("lon") <= F.col("maxlon"))
             & (F.col("lat") >= F.col("minlat")) & (F.col("lat") <= F.col("maxlat"))

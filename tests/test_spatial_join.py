@@ -43,6 +43,53 @@ def test_bbox_join_exact(spark, calc, images_pdf):
     pd.testing.assert_frame_equal(got, exp)
 
 
+def test_bbox_join_batch_matches_small_form(spark, calc):
+    boxes = FX.make_bbox_queries_pdf(60)
+    a = SJ.bbox_join(calc, boxes).toPandas() \
+        .sort_values(["qid", "image_id"]).reset_index(drop=True)
+    b = SJ.bbox_join_batch(calc, spark.createDataFrame(
+        boxes[["qid", "minlon", "minlat", "maxlon", "maxlat"]])).toPandas() \
+        .sort_values(["qid", "image_id"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_bbox_join_batch_large_box_set(spark, calc, images_pdf):
+    # 2*10^4 boxes entering via bbox_join must auto-dispatch to the
+    # batch form (executor-side cover, no driver expansion / forced
+    # broadcast) and equal the vectorized brute-force oracle
+    rng = np.random.default_rng(17)
+    nb = 20_000
+    w = rng.integers(1_000_000, 200_000_000, nb)
+    h = rng.integers(1_000_000, 200_000_000, nb)
+    cx = rng.integers(-1_600_000_000, 1_600_000_000, nb)
+    cy = rng.integers(-700_000_000, 700_000_000, nb)
+    boxes = pd.DataFrame({
+        "qid": np.arange(nb),
+        "minlon": cx - w, "minlat": cy - h,
+        "maxlon": cx + w, "maxlat": cy + h,
+    })
+    got = SJ.bbox_join(calc, boxes).toPandas() \
+        .sort_values(["qid", "image_id"]).reset_index(drop=True)
+    plon = images_pdf.lon.to_numpy(np.int64)
+    plat = images_pdf.lat.to_numpy(np.int64)
+    ids = images_pdf.image_id.to_numpy()
+    exp_q, exp_i = [], []
+    CH = 2000
+    for lo in range(0, nb, CH):
+        hi = min(nb, lo + CH)
+        m = ((plon[None, :] >= boxes.minlon.values[lo:hi, None])
+             & (plon[None, :] <= boxes.maxlon.values[lo:hi, None])
+             & (plat[None, :] >= boxes.minlat.values[lo:hi, None])
+             & (plat[None, :] <= boxes.maxlat.values[lo:hi, None]))
+        q, j = np.nonzero(m)
+        exp_q.extend((q + lo).tolist())
+        exp_i.extend(ids[j].tolist())
+    exp = pd.DataFrame({"qid": exp_q, "image_id": exp_i}) \
+        .sort_values(["qid", "image_id"]).reset_index(drop=True)
+    assert len(exp) > 0
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
 def test_pip_join_exact(spark, calc, images_pdf):
     polys = FX.make_polygons_pdf(80)
     got = SJ.pip_join(calc, polys).toPandas() \
