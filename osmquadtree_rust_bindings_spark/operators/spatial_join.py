@@ -160,7 +160,8 @@ def bbox_join_batch(points: DataFrame, boxes: DataFrame,
 
 def pip_join(points: DataFrame, polygons_pdf: pd.DataFrame,
              point_id: str = "image_id", depth: int = COVER_DEPTH,
-             qt_point: str = "qt_point") -> DataFrame:
+             qt_point: str = "qt_point",
+             batch_threshold: int = 5_000) -> DataFrame:
     """(poly_id, point_id) pairs with the point strictly inside the polygon
     (shapely-``contains``-style boundary exclusion; reference
     Poly.contains_point, src/readpbf.rs:761-763).
@@ -170,8 +171,20 @@ def pip_join(points: DataFrame, polygons_pdf: pd.DataFrame,
     ray-crossing kernel over candidates, grouped per polygon inside each
     Arrow batch; polygon vertices travel via broadcast, built once per
     executor.
+
+    The driver-side cover expansion + whole-vertex-table broadcast is
+    the small-region contract (a handful of admin polygons); at
+    ``batch_threshold`` polygons and above it auto-dispatches to
+    :func:`pip_join_batch` (identical output), which keeps both the
+    cover stream and the vertex data distributed.
     """
     spark = points.sparkSession
+    if len(polygons_pdf) >= batch_threshold:
+        return pip_join_batch(
+            points, spark.createDataFrame(polygons_pdf[
+                ["poly_id", "verts_lon", "verts_lat",
+                 "minlon", "minlat", "maxlon", "maxlat"]]),
+            point_id=point_id, depth=depth, qt_point=qt_point)
     polys = polygons_pdf.reset_index(drop=True)
     cov = bbox_cover_cells(polys.minlon.values, polys.minlat.values,
                            polys.maxlon.values, polys.maxlat.values, depth)
@@ -216,6 +229,77 @@ def pip_join(points: DataFrame, polygons_pdf: pd.DataFrame,
 
     id_type = dict(points.dtypes)[point_id]
     return cand.mapInPandas(
+        refine, schema=f"poly_id string, {point_id} {id_type}")
+
+
+def pip_join_batch(points: DataFrame, polygons: DataFrame,
+                   point_id: str = "image_id", depth: int = COVER_DEPTH,
+                   qt_point: str = "qt_point") -> DataFrame:
+    """J9 at batch scale: identical results to :func:`pip_join`, but the
+    polygon set is a DataFrame — 10^6 geofences never touch the driver.
+
+    Shape: (1) cover cells + bbox bounds emitted executor-side from the
+    polygon partitions (the :func:`bbox_join_batch` cover stage — verts
+    are NOT carried, so the cover stream stays narrow); (2) one
+    equi-join + bbox Column prefilter produces candidates; (3) the
+    exact ray-crossing refine runs as a cogroup on ``poly_id`` —
+    candidates cogrouped with the one-row polygon group, so each
+    polygon's vertex arrays travel ONCE per group through Arrow instead
+    of via a driver-built broadcast dict.  The cogroup shuffle on
+    ``poly_id`` is the price of unbounded polygon sets; AQE's skew
+    split does not apply inside applyInPandas groups, so a single
+    polygon covering a large fraction of all points is still one task —
+    the vectorized kernel keeps that linear, but a degenerate
+    whole-planet polygon belongs in the small form (where it is a
+    broadcast filter).
+    """
+    sh = 63 - 2 * depth  # compact cell index — see bbox_join
+
+    def covers(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            cov = bbox_cover_cells(b.minlon.values, b.minlat.values,
+                                   b.maxlon.values, b.maxlat.values, depth)
+            idx = np.fromiter((i for i, _ in cov), np.int64, len(cov))
+            cells = np.fromiter((c for _, c in cov), np.int64, len(cov))
+            yield pd.DataFrame({
+                "poly_id": b.poly_id.values[idx],
+                "cell_cov": cells >> np.int64(sh),
+                "minlon": b.minlon.values[idx],
+                "minlat": b.minlat.values[idx],
+                "maxlon": b.maxlon.values[idx],
+                "maxlat": b.maxlat.values[idx],
+            })
+
+    cov_df = polygons.select("poly_id", "minlon", "minlat", "maxlon",
+                             "maxlat").mapInPandas(
+        covers, schema="poly_id string, cell_cov long, minlon long,"
+                       " minlat long, maxlon long, maxlat long")
+    pts = points.withColumn(
+        "cell_cov", F.shiftrightunsigned(F.col(qt_point), sh))
+    cand = (
+        pts.join(cov_df, "cell_cov")
+        .filter(
+            (F.col("lon") >= F.col("minlon")) & (F.col("lon") <= F.col("maxlon"))
+            & (F.col("lat") >= F.col("minlat")) & (F.col("lat") <= F.col("maxlat"))
+        )
+        .select("poly_id", point_id, "lon", "lat")
+    )
+    id_type = dict(points.dtypes)[point_id]
+
+    def refine(cands: pd.DataFrame, polys: pd.DataFrame) -> pd.DataFrame:
+        if len(cands) == 0 or len(polys) == 0:
+            return pd.DataFrame({"poly_id": pd.Series(dtype=object),
+                                 point_id: pd.Series(dtype=object)})
+        vx = np.asarray(polys.verts_lon.iloc[0], np.float64)
+        vy = np.asarray(polys.verts_lat.iloc[0], np.float64)
+        keep = K.points_in_polygon(
+            cands["lon"].to_numpy(np.float64),
+            cands["lat"].to_numpy(np.float64), vx, vy)
+        return cands.loc[keep, ["poly_id", point_id]]
+
+    return cand.groupby("poly_id").cogroup(
+        polygons.select("poly_id", "verts_lon", "verts_lat")
+        .groupby("poly_id")).applyInPandas(
         refine, schema=f"poly_id string, {point_id} {id_type}")
 
 

@@ -109,6 +109,44 @@ def test_pip_join_exact(spark, calc, images_pdf):
     pd.testing.assert_frame_equal(got, exp)
 
 
+def test_pip_join_batch_matches_small_form(spark, calc):
+    polys = FX.make_polygons_pdf(80)
+    a = SJ.pip_join(calc, polys).toPandas() \
+        .sort_values(["poly_id", "image_id"]).reset_index(drop=True)
+    b = SJ.pip_join_batch(calc, spark.createDataFrame(polys[
+        ["poly_id", "verts_lon", "verts_lat",
+         "minlon", "minlat", "maxlon", "maxlat"]])).toPandas() \
+        .sort_values(["poly_id", "image_id"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_pip_join_batch_large_polygon_set(spark, calc, images_pdf):
+    # 6*10^3 polygons entering via pip_join must auto-dispatch to the
+    # batch form (distributed cover + cogroup refine, no driver
+    # vertex broadcast) and equal the ray-crossing kernel oracle
+    polys = FX.make_polygons_pdf(6_000, seed=31)
+    got = SJ.pip_join(calc, polys).toPandas() \
+        .sort_values(["poly_id", "image_id"]).reset_index(drop=True)
+    plon = images_pdf.lon.to_numpy(np.float64)
+    plat = images_pdf.lat.to_numpy(np.float64)
+    rows = []
+    for p in polys.itertuples(index=False):
+        m = ((plon >= p.minlon) & (plon <= p.maxlon)
+             & (plat >= p.minlat) & (plat <= p.maxlat))
+        if not m.any():
+            continue
+        inside = K.points_in_polygon(
+            plon[m], plat[m],
+            np.asarray(p.verts_lon, np.float64),
+            np.asarray(p.verts_lat, np.float64))
+        rows.extend((p.poly_id, iid)
+                    for iid in images_pdf.image_id.values[m][inside])
+    exp = pd.DataFrame(rows, columns=["poly_id", "image_id"]) \
+        .sort_values(["poly_id", "image_id"]).reset_index(drop=True)
+    assert len(exp) > 0
+    pd.testing.assert_frame_equal(got, exp)
+
+
 def test_knn_join_exact(spark, calc, images_pdf):
     queries = FX.make_knn_queries_pdf(25)
     got = SJ.knn_join(calc, queries).toPandas() \
