@@ -589,6 +589,13 @@ def knn_join_batch(points: DataFrame, queries: DataFrame,
     )
     w = Window.partitionBy("qid").orderBy(F.col("dist_m").asc(),
                                           F.col(point_id).asc())
+    # Measured negative result (README perf rule 19): adding max(k) as a
+    # LITERAL rank conjunct to trigger InferWindowGroupLimit made the
+    # 10^5-query case ~1.4x WORSE (19.6-25.8s vs 14.3-14.8s, alternating
+    # same-session A/B).  On this plan the window piggybacks on the
+    # qid-join's existing hash partitioning, so there is no window
+    # shuffle to shrink — WindowGroupLimitExec runs Final-mode only and
+    # just inserts a non-codegen truncation pass between Sort and Window.
     return (
         cand.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= F.col("k"))
