@@ -66,7 +66,7 @@ def bbox_cover_cells(minlon, minlat, maxlon, maxlat,
 def bbox_join(points: DataFrame, boxes_pdf: pd.DataFrame,
               point_id: str = "image_id", depth: int = COVER_DEPTH,
               qt_point: str = "qt_point",
-              batch_threshold: int = 10_000) -> DataFrame:
+              batch_threshold: int = 1_000) -> DataFrame:
     """(qid, point_id) pairs where the point lies in the query box
     (closed intervals, reference bbox.contains_point semantics).
 
@@ -161,7 +161,7 @@ def bbox_join_batch(points: DataFrame, boxes: DataFrame,
 def pip_join(points: DataFrame, polygons_pdf: pd.DataFrame,
              point_id: str = "image_id", depth: int = COVER_DEPTH,
              qt_point: str = "qt_point",
-             batch_threshold: int = 5_000) -> DataFrame:
+             batch_threshold: int = 1_000) -> DataFrame:
     """(poly_id, point_id) pairs with the point strictly inside the polygon
     (shapely-``contains``-style boundary exclusion; reference
     Poly.contains_point, src/readpbf.rs:761-763).
@@ -176,7 +176,9 @@ def pip_join(points: DataFrame, polygons_pdf: pd.DataFrame,
     the small-region contract (a handful of admin polygons); at
     ``batch_threshold`` polygons and above it auto-dispatches to
     :func:`pip_join_batch` (identical output), which keeps both the
-    cover stream and the vertex data distributed.
+    cover stream and the vertex data distributed.  Threshold set at the
+    measured crossover (BENCH/spatial_crossover.json: small/batch =
+    1.22/1.25s at 10^3, 3.46/1.77s at 10^4).
     """
     spark = points.sparkSession
     if len(polygons_pdf) >= batch_threshold:
@@ -242,16 +244,22 @@ def pip_join_batch(points: DataFrame, polygons: DataFrame,
     polygon partitions (the :func:`bbox_join_batch` cover stage — verts
     are NOT carried, so the cover stream stays narrow); (2) one
     equi-join + bbox Column prefilter produces candidates; (3) the
-    exact ray-crossing refine runs as a cogroup on ``poly_id`` —
-    candidates cogrouped with the one-row polygon group, so each
-    polygon's vertex arrays travel ONCE per group through Arrow instead
-    of via a driver-built broadcast dict.  The cogroup shuffle on
-    ``poly_id`` is the price of unbounded polygon sets; AQE's skew
-    split does not apply inside applyInPandas groups, so a single
-    polygon covering a large fraction of all points is still one task —
-    the vectorized kernel keeps that linear, but a degenerate
-    whole-planet polygon belongs in the small form (where it is a
-    broadcast filter).
+    exact ray-crossing refine joins the vertex arrays onto the
+    candidates (poly_id equi-join — AQE broadcasts the vertex table
+    when it fits, else shuffles) and runs ONE mapInPandas over the
+    joined stream, grouping by poly_id inside each Arrow batch — the
+    small form's refine with verts read from columns instead of a
+    driver-built broadcast dict.
+
+    Measured alternative (BENCH/spatial_crossover.json history): a
+    cogroup-applyInPandas refine (verts travel once per group, no
+    duplication) invokes Python once PER POLYGON — per-group overhead
+    made 10^4 small polygons 17.6s vs 3.1s for the driver-broadcast
+    small form.  The join form duplicates each polygon's vertex arrays
+    per candidate row inside the refine exchange, which is the right
+    trade until polygons carry very large rings; vertex-heavy work
+    belongs in the small form (broadcast dict, verts shipped once per
+    executor).
     """
     sh = 63 - 2 * depth  # compact cell index — see bbox_join
 
@@ -285,21 +293,23 @@ def pip_join_batch(points: DataFrame, polygons: DataFrame,
         .select("poly_id", point_id, "lon", "lat")
     )
     id_type = dict(points.dtypes)[point_id]
+    withverts = cand.join(
+        polygons.select("poly_id", "verts_lon", "verts_lat"), "poly_id")
 
-    def refine(cands: pd.DataFrame, polys: pd.DataFrame) -> pd.DataFrame:
-        if len(cands) == 0 or len(polys) == 0:
-            return pd.DataFrame({"poly_id": pd.Series(dtype=object),
-                                 point_id: pd.Series(dtype=object)})
-        vx = np.asarray(polys.verts_lon.iloc[0], np.float64)
-        vy = np.asarray(polys.verts_lat.iloc[0], np.float64)
-        keep = K.points_in_polygon(
-            cands["lon"].to_numpy(np.float64),
-            cands["lat"].to_numpy(np.float64), vx, vy)
-        return cands.loc[keep, ["poly_id", point_id]]
+    def refine(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            if len(b) == 0:
+                continue
+            keep = np.zeros(len(b), dtype=bool)
+            lon = b["lon"].to_numpy(np.float64)
+            lat = b["lat"].to_numpy(np.float64)
+            for _pid, idx in b.groupby("poly_id").indices.items():
+                vx = np.asarray(b["verts_lon"].iloc[idx[0]], np.float64)
+                vy = np.asarray(b["verts_lat"].iloc[idx[0]], np.float64)
+                keep[idx] = K.points_in_polygon(lon[idx], lat[idx], vx, vy)
+            yield b.loc[keep, ["poly_id", point_id]]
 
-    return cand.groupby("poly_id").cogroup(
-        polygons.select("poly_id", "verts_lon", "verts_lat")
-        .groupby("poly_id")).applyInPandas(
+    return withverts.mapInPandas(
         refine, schema=f"poly_id string, {point_id} {id_type}")
 
 
