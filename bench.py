@@ -74,8 +74,13 @@ def main() -> None:
 
     ensure_shipped(spark)
     gate_qs = entrymod.queries()
-    qs = {name: getattr(DQ, f"q_{name}", None) or gate_qs[name]
-          for name in HEADLINE}
+    # r04: the j11/j9 gates merged in their batch twins (small+batch
+    # union, both driver-verified) — bench keeps timing the SMALL form
+    # alone so these series stay comparable across rounds
+    overrides = {"j11_bbox_join": DQ.q_j11_bbox_small,
+                 "j9_pip_join": DQ.q_j9_pip_small}
+    qs = {name: overrides.get(name) or getattr(DQ, f"q_{name}", None)
+          or gate_qs[name] for name in HEADLINE}
 
     # warmup at the smallest sf: JIT, python workers, broadcast machinery.
     # Every headline query runs once at sf0.001 so the measured pass below

@@ -570,11 +570,15 @@ FROM {_point_qt_sub()}"""
 
     qb = _values(DQ._bbox_queries(),
                  ["qid", "minlon", "minlat", "maxlon", "maxlat"])
-    o["j11_bbox_join"] = f"""
+    j11_single = f"""
 SELECT cast(q.qid as bigint) AS qid, cast(p.rowkey as bigint) AS rowkey
 FROM {PTS} p, {qb} q(qid, minlon, minlat, maxlon, maxlat)
 WHERE p.lon >= q.minlon AND p.lon <= q.maxlon
   AND p.lat >= q.minlat AND p.lat <= q.maxlat"""
+    # both engine forms (small + batch) replay the same pair oracle, tagged
+    o["j11_bbox_join"] = (
+        f"SELECT 'small' AS form, qid, rowkey FROM ({j11_single})\n"
+        f"UNION ALL\nSELECT 'batch' AS form, qid, rowkey FROM ({j11_single})")
 
     # PIP: convex CCW polygons -> strict half-plane conjunction (double math)
     parts = []
@@ -591,7 +595,11 @@ WHERE p.lon >= q.minlon AND p.lon <= q.maxlon
         parts.append(
             f"SELECT '{r.poly_id}' AS poly_id, cast(p.rowkey as bigint) AS rowkey "
             f"FROM {PTS} p WHERE " + " AND ".join(conds))
-    o["j9_pip_join"] = "\nUNION ALL\n".join(parts)
+    j9_single = "\nUNION ALL\n".join(parts)
+    o["j9_pip_join"] = (
+        f"SELECT 'small' AS form, poly_id, rowkey FROM ({j9_single})\n"
+        f"UNION ALL\nSELECT 'batch' AS form, poly_id, rowkey "
+        f"FROM ({j9_single})")
 
     kq = _values(DQ._knn_queries(), ["qid", "lon", "lat", "k"])
     o["j10_knn_join"] = f"""

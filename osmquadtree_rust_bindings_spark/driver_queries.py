@@ -679,17 +679,62 @@ def q_a11_assign_invariants(spark, sf_dir):
         F.sum("nl").cast("long").alias("not_longest"))
 
 
-def q_j11_bbox_join(spark, sf_dir):
+def q_j11_bbox_small(spark, sf_dir):
+    # per-operator form for bench.py: the small J11 form alone, so the
+    # bench series stays comparable across rounds after the gate merged
+    # in the batch twin (same pattern as q_ann_l2_topk / q_text_quality)
     pts = _pts_with_qt(spark, sf_dir)
     return SJ.bbox_join(pts, _bbox_queries(), point_id="rowkey").select(
         F.col("qid").cast("long").alias("qid"),
         F.col("rowkey").cast("long").alias("rowkey"))
 
 
-def q_j9_pip_join(spark, sf_dir):
+def q_j9_pip_small(spark, sf_dir):
+    # per-operator form for bench.py (see q_j11_bbox_small)
     pts = _pts_with_qt(spark, sf_dir)
     return SJ.pip_join(pts, _polygons(), point_id="rowkey").select(
         "poly_id", F.col("rowkey").cast("long").alias("rowkey"))
+
+
+def q_j11_bbox_join(spark, sf_dir):
+    # merged gate: BOTH J11 forms, tagged — the small (driver-expansion +
+    # broadcast) form and bbox_join_batch (executor-side cover, the scale
+    # twin), against the same oracle replayed under each tag.  Keeps the
+    # registry inside the harness's 50-entry window while driver-verifying
+    # the batch form hash-exact (crossover: BENCH/spatial_crossover.json).
+    pts = _pts_with_qt(spark, sf_dir)
+    boxes = _bbox_queries()
+    small = SJ.bbox_join(pts, boxes, point_id="rowkey")
+    batch = SJ.bbox_join_batch(
+        pts, spark.createDataFrame(
+            boxes[["qid", "minlon", "minlat", "maxlon", "maxlat"]]),
+        point_id="rowkey")
+    return (
+        small.select(F.lit("small").alias("form"), "qid", "rowkey")
+        .unionByName(
+            batch.select(F.lit("batch").alias("form"), "qid", "rowkey"))
+        .select("form", F.col("qid").cast("long").alias("qid"),
+                F.col("rowkey").cast("long").alias("rowkey")))
+
+
+def q_j9_pip_join(spark, sf_dir):
+    # merged gate: BOTH J9 forms, tagged (see q_j11_bbox_join) — small
+    # (driver vertex broadcast) and pip_join_batch (distributed cover +
+    # verts-join refine, the scale twin)
+    pts = _pts_with_qt(spark, sf_dir)
+    polys = _polygons()
+    small = SJ.pip_join(pts, polys, point_id="rowkey")
+    batch = SJ.pip_join_batch(
+        pts, spark.createDataFrame(polys[
+            ["poly_id", "verts_lon", "verts_lat",
+             "minlon", "minlat", "maxlon", "maxlat"]]),
+        point_id="rowkey")
+    return (
+        small.select(F.lit("small").alias("form"), "poly_id", "rowkey")
+        .unionByName(
+            batch.select(F.lit("batch").alias("form"), "poly_id", "rowkey"))
+        .select("form", "poly_id",
+                F.col("rowkey").cast("long").alias("rowkey")))
 
 
 def q_j10_knn_join(spark, sf_dir):
