@@ -34,8 +34,10 @@ HEADLINE = [
     "j11_bbox_join",        # spatial joins (join rows)
     "j9_pip_join",
     "j10_knn_join",         # r04+: times the BATCH form (gate switched per
-                            # round-3 review) — ~+0.5s vs the r03 loop form
-                            # at 10 queries by design (README perf rule 17)
+                            # round-3 review) — pays the density-histogram
+                            # scan at 10 queries by design (README perf
+                            # rules 17-18; crossover ~10^3 queries, 10^6
+                            # rung in BENCH/knn_crossover.json)
     "j12_raster_vector",
     "j1_semi_join_cascade",
     "j6_diff_summary",

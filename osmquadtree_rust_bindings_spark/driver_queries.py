@@ -684,7 +684,9 @@ def q_j11_bbox_small(spark, sf_dir):
     # bench series stays comparable across rounds after the gate merged
     # in the batch twin (same pattern as q_ann_l2_topk / q_text_quality)
     pts = _pts_with_qt(spark, sf_dir)
-    return SJ.bbox_join(pts, _bbox_queries(), point_id="rowkey").select(
+    boxes = _bbox_queries()
+    return SJ.bbox_join(pts, boxes, point_id="rowkey",
+                        batch_threshold=len(boxes) + 1).select(
         F.col("qid").cast("long").alias("qid"),
         F.col("rowkey").cast("long").alias("rowkey"))
 
@@ -692,7 +694,9 @@ def q_j11_bbox_small(spark, sf_dir):
 def q_j9_pip_small(spark, sf_dir):
     # per-operator form for bench.py (see q_j11_bbox_small)
     pts = _pts_with_qt(spark, sf_dir)
-    return SJ.pip_join(pts, _polygons(), point_id="rowkey").select(
+    polys = _polygons()
+    return SJ.pip_join(pts, polys, point_id="rowkey",
+                       batch_threshold=len(polys) + 1).select(
         "poly_id", F.col("rowkey").cast("long").alias("rowkey"))
 
 
@@ -704,7 +708,10 @@ def q_j11_bbox_join(spark, sf_dir):
     # the batch form hash-exact (crossover: BENCH/spatial_crossover.json).
     pts = _pts_with_qt(spark, sf_dir)
     boxes = _bbox_queries()
-    small = SJ.bbox_join(pts, boxes, point_id="rowkey")
+    # threshold pinned above the fixture size so the "small" tag always
+    # exercises the small code path even if the fixture grows
+    small = SJ.bbox_join(pts, boxes, point_id="rowkey",
+                         batch_threshold=len(boxes) + 1)
     batch = SJ.bbox_join_batch(
         pts, spark.createDataFrame(
             boxes[["qid", "minlon", "minlat", "maxlon", "maxlat"]]),
@@ -723,7 +730,8 @@ def q_j9_pip_join(spark, sf_dir):
     # verts-join refine, the scale twin)
     pts = _pts_with_qt(spark, sf_dir)
     polys = _polygons()
-    small = SJ.pip_join(pts, polys, point_id="rowkey")
+    small = SJ.pip_join(pts, polys, point_id="rowkey",
+                        batch_threshold=len(polys) + 1)
     batch = SJ.pip_join_batch(
         pts, spark.createDataFrame(polys[
             ["poly_id", "verts_lon", "verts_lat",

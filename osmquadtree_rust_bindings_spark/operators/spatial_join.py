@@ -108,6 +108,37 @@ def bbox_join(points: DataFrame, boxes_pdf: pd.DataFrame,
     )
 
 
+def _cover_stream(frame: DataFrame, id_col: str, depth: int) -> DataFrame:
+    """Executor-side cover expansion shared by the J11/J9 batch forms:
+    (id, cell_cov, bbox bounds) rows, one per (query, covering cell),
+    emitted from a mapInPandas over the query-side partitions.
+
+    The id and bounds columns KEEP their input Spark types in the output
+    schema — hardcoding ``long`` would silently truncate float bounds,
+    making the batch refine diverge from the small form's comparison on
+    the same input (e.g. ``minlon = 55.5`` excludes ``lon = 55`` in the
+    small form but would include it after truncation)."""
+    sh = 63 - 2 * depth  # compact cell index — see bbox_join
+    dt = dict(frame.dtypes)
+    bounds = ["minlon", "minlat", "maxlon", "maxlat"]
+    schema = ", ".join([f"{id_col} {dt[id_col]}", "cell_cov long"]
+                       + [f"{c} {dt[c]}" for c in bounds])
+
+    def covers(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            cov = bbox_cover_cells(b.minlon.values, b.minlat.values,
+                                   b.maxlon.values, b.maxlat.values, depth)
+            idx = np.fromiter((i for i, _ in cov), np.int64, len(cov))
+            cells = np.fromiter((c for _, c in cov), np.int64, len(cov))
+            out = {id_col: b[id_col].values[idx],
+                   "cell_cov": cells >> np.int64(sh)}
+            for c in bounds:
+                out[c] = b[c].values[idx]
+            yield pd.DataFrame(out)
+
+    return frame.select(id_col, *bounds).mapInPandas(covers, schema=schema)
+
+
 def bbox_join_batch(points: DataFrame, boxes: DataFrame,
                     point_id: str = "image_id", depth: int = COVER_DEPTH,
                     qt_point: str = "qt_point") -> DataFrame:
@@ -119,31 +150,12 @@ def bbox_join_batch(points: DataFrame, boxes: DataFrame,
     shuffle from the cover stream's true size, and its skew-join split
     handles a hot cover cell (many boxes stacked over one cell).
 
-    The box bounds ride along in the cover stream (a few extra int64
+    The box bounds ride along in the cover stream (a few extra fixed-width
     columns on ~4 rows/box), which keeps the plan a single equi-join +
     Column refine — no second join back to the box table.
     """
     sh = 63 - 2 * depth  # compact cell index — see bbox_join
-
-    def covers(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for b in batches:
-            cov = bbox_cover_cells(b.minlon.values, b.minlat.values,
-                                   b.maxlon.values, b.maxlat.values, depth)
-            idx = np.fromiter((i for i, _ in cov), np.int64, len(cov))
-            cells = np.fromiter((c for _, c in cov), np.int64, len(cov))
-            yield pd.DataFrame({
-                "qid": b.qid.values[idx],
-                "cell_cov": cells >> np.int64(sh),
-                "minlon": b.minlon.values[idx],
-                "minlat": b.minlat.values[idx],
-                "maxlon": b.maxlon.values[idx],
-                "maxlat": b.maxlat.values[idx],
-            })
-
-    cov_df = boxes.select("qid", "minlon", "minlat", "maxlon",
-                          "maxlat").mapInPandas(
-        covers, schema="qid long, cell_cov long, minlon long, minlat long,"
-                       " maxlon long, maxlat long")
+    cov_df = _cover_stream(boxes, "qid", depth)
     pts = points.withColumn(
         "cell_cov", F.shiftrightunsigned(F.col(qt_point), sh))
     return (
@@ -260,28 +272,15 @@ def pip_join_batch(points: DataFrame, polygons: DataFrame,
     trade until polygons carry very large rings; vertex-heavy work
     belongs in the small form (broadcast dict, verts shipped once per
     executor).
+
+    Contract note: the ``polygons`` plan is scanned twice (cover
+    emission + verts join).  For polygons read straight from storage
+    that is two cheap narrow scans; if the polygon set is derived from
+    an expensive upstream computation, the CALLER should persist or
+    checkpoint it first — this function does not cache its input.
     """
     sh = 63 - 2 * depth  # compact cell index — see bbox_join
-
-    def covers(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for b in batches:
-            cov = bbox_cover_cells(b.minlon.values, b.minlat.values,
-                                   b.maxlon.values, b.maxlat.values, depth)
-            idx = np.fromiter((i for i, _ in cov), np.int64, len(cov))
-            cells = np.fromiter((c for _, c in cov), np.int64, len(cov))
-            yield pd.DataFrame({
-                "poly_id": b.poly_id.values[idx],
-                "cell_cov": cells >> np.int64(sh),
-                "minlon": b.minlon.values[idx],
-                "minlat": b.minlat.values[idx],
-                "maxlon": b.maxlon.values[idx],
-                "maxlat": b.maxlat.values[idx],
-            })
-
-    cov_df = polygons.select("poly_id", "minlon", "minlat", "maxlon",
-                             "maxlat").mapInPandas(
-        covers, schema="poly_id string, cell_cov long, minlon long,"
-                       " minlat long, maxlon long, maxlat long")
+    cov_df = _cover_stream(polygons, "poly_id", depth)
     pts = points.withColumn(
         "cell_cov", F.shiftrightunsigned(F.col(qt_point), sh))
     cand = (
@@ -587,8 +586,10 @@ def knn_join_batch(points: DataFrame, queries: DataFrame,
             if out_q:
                 yield pd.DataFrame({"qid": out_q, "cell_knn": out_c})
 
+    # qid keeps its input type (hardcoding long would break string ids
+    # and mismatch the join with qdf — same rationale as _cover_stream)
     ring_df = queries.select("qid", "lon", "lat", "k").mapInPandas(
-        rings, schema="qid long, cell_knn long")
+        rings, schema=f"qid {dict(queries.dtypes)['qid']}, cell_knn long")
     qdf = queries.select("qid", F.col("lon").alias("qlon"),
                          F.col("lat").alias("qlat"), "k")
     cand = (

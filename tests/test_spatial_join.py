@@ -90,6 +90,39 @@ def test_bbox_join_batch_large_box_set(spark, calc, images_pdf):
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
 
 
+def test_bbox_join_batch_float_bounds(spark, calc, images_pdf):
+    # _cover_stream preserves input column types: float bounds must
+    # compare as doubles in the batch refine exactly like the small
+    # form.  Boxes are anchored 0.5 units past real point coordinates,
+    # so truncating bounds to long would wrongly include each box's
+    # anchor point — this pins the non-truncating behavior.
+    p = images_pdf.iloc[:20]
+    boxes = pd.DataFrame({
+        "qid": np.arange(20),
+        "minlon": p.lon.values + 0.5,
+        "minlat": p.lat.values - 50_000_000.0,
+        "maxlon": p.lon.values + 200_000_000.5,
+        "maxlat": p.lat.values + 50_000_000.5,
+    })
+    small = SJ.bbox_join(calc, boxes).toPandas() \
+        .sort_values(["qid", "image_id"]).reset_index(drop=True)
+    batch = SJ.bbox_join_batch(calc, spark.createDataFrame(
+        boxes[["qid", "minlon", "minlat", "maxlon", "maxlat"]])).toPandas() \
+        .sort_values(["qid", "image_id"]).reset_index(drop=True)
+    rows = []
+    for b in boxes.itertuples(index=False):
+        m = ((images_pdf.lon >= b.minlon) & (images_pdf.lon <= b.maxlon)
+             & (images_pdf.lat >= b.minlat) & (images_pdf.lat <= b.maxlat))
+        rows.extend((b.qid, iid) for iid in images_pdf.image_id[m])
+    exp = pd.DataFrame(rows, columns=["qid", "image_id"]) \
+        .sort_values(["qid", "image_id"]).reset_index(drop=True)
+    # every anchor point sits 0.5 below its box's minlon: must be absent
+    anchor_pairs = set(zip(range(20), p.image_id))
+    assert not (set(zip(batch.qid, batch.image_id)) & anchor_pairs)
+    pd.testing.assert_frame_equal(batch, exp, check_dtype=False)
+    pd.testing.assert_frame_equal(small, exp, check_dtype=False)
+
+
 def test_pip_join_exact(spark, calc, images_pdf):
     polys = FX.make_polygons_pdf(80)
     got = SJ.pip_join(calc, polys).toPandas() \
@@ -122,7 +155,7 @@ def test_pip_join_batch_matches_small_form(spark, calc):
 
 def test_pip_join_batch_large_polygon_set(spark, calc, images_pdf):
     # 6*10^3 polygons entering via pip_join must auto-dispatch to the
-    # batch form (distributed cover + cogroup refine, no driver
+    # batch form (distributed cover + verts-join refine, no driver
     # vertex broadcast) and equal the ray-crossing kernel oracle
     polys = FX.make_polygons_pdf(6_000, seed=31)
     got = SJ.pip_join(calc, polys).toPandas() \
