@@ -308,8 +308,9 @@ def pip_join_batch(points: DataFrame, polygons: DataFrame,
                 keep[idx] = K.points_in_polygon(lon[idx], lat[idx], vx, vy)
             yield b.loc[keep, ["poly_id", point_id]]
 
+    pid_type = dict(polygons.dtypes)["poly_id"]
     return withverts.mapInPandas(
-        refine, schema=f"poly_id string, {point_id} {id_type}")
+        refine, schema=f"poly_id {pid_type}, {point_id} {id_type}")
 
 
 # --------------------------------------------------------------- J10 kNN
