@@ -118,6 +118,25 @@ def main() -> None:
         steady[name] = round(time.time() - t0, 3)
     steady_total = round(time.time() - t_all2, 3)
 
+    # Third measured pass + per-query minima: this round's box shows
+    # intermittent multi-second kernel-side stalls (vmstat sys ~90% with
+    # 3-7% steal, threads piled in futex_do_wait — host lock-holder
+    # preemption amplified through the 32-thread JVM; GC log exonerated:
+    # max pause 32ms during a 27s stall) on identical code and outputs.
+    # `best_*` = per-query min across the three measured passes — the
+    # noise floor that tracks CODE, not ambient, and the right series to
+    # read when first/steady disagree by >2x (see BENCH/BASELINE.md
+    # "Ambient noise characterization").
+    spark.catalog.clearCache()
+    third: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.time()
+        force(qs[name](spark, sf_dir), name in METRIC_ROWS)
+        third[name] = round(time.time() - t0, 3)
+    best = {name: min(per_query[name], steady[name], third[name])
+            for name in HEADLINE}
+    best_total = round(sum(best.values()), 3)
+
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(json.dumps({
         "metric": "headline suite wall time (tile assignment + spatial "
@@ -132,6 +151,9 @@ def main() -> None:
         "steady_value": steady_total,
         "steady_queries": steady,
         "steady_rows_per_sec": round(metric_rows / steady_total, 1),
+        "best_value": best_total,
+        "best_queries": best,
+        "best_rows_per_sec": round(metric_rows / best_total, 1),
     }))
     spark.stop()
 
