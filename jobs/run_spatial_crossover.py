@@ -35,7 +35,7 @@ import pandas as pd
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 BBOX_COUNTS = [100, 1_000, 10_000, 100_000, 1_000_000]
-PIP_COUNTS = [100, 1_000, 10_000, 100_000]
+PIP_COUNTS = [100, 1_000, 10_000, 100_000, 1_000_000]
 SMALL_MAX = 100_000      # bbox small form: driver expansion beyond is pointless
 PIP_SMALL_MAX = 100_000
 REPS = 2
