@@ -308,6 +308,17 @@ def run_orchestrated(args) -> dict:
             # JVM-start-time flags get_spark can't set post-hoc:
             "--conf",
             "spark.driver.extraJavaOptions=-XX:-DontCompileHugeMethods",
+        ]
+        # OSMQT_STAGE_CONF="k=v;k2=v2" forwards session-level Spark confs
+        # (e.g. spark.io.compression.codec=zstd when shuffle scratch must
+        # fit a small local disk) to every stage JVM.  Must precede the
+        # script path — anything after it is an application arg, not a
+        # spark-submit option.  Recorded in the BENCH/corpus.json note
+        # whenever a sweep uses it.
+        for kv in filter(None, os.environ.get(
+                "OSMQT_STAGE_CONF", "").split(";")):
+            cmd += ["--conf", kv.strip()]
+        cmd += [
             "--py-files", zp,
             os.path.abspath(__file__), "--stage", stage,
             "--docs", str(args.docs), "--vecs", str(args.vecs),
