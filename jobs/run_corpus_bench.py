@@ -258,10 +258,28 @@ def _stage_mem(stage: str, docs: int) -> str:
     far above the working set defers old-gen collection into storms; the
     16g contract a cluster user should size to is
     ~(docs x bands x 8B band-key stream / cores) + shuffle buffers.
-    SPARK_MINHASH_MEM remains an override for re-probing."""
+    SPARK_MINHASH_MEM remains an override for re-probing.
+
+    The candidate-join stages OUTGROW 16g as the corpus doubles, and a
+    heap that completed a run once is NOT evidence it is safe: minhash
+    at 40M finished the ladder run at 16g then OOM'd a re-run, and
+    simhash at 80M finished the standalone run at 16g (672.6s,
+    commit 96ea223) then died mid-suite with SparkExitCode.OOM=52 —
+    whose shutdown hooks delete the blockmgr under still-running task
+    threads, so the log shows temp_shuffle FileNotFound noise, not the
+    OOM itself.  Local mode runs spark.task.maxFailures=1, so one
+    marginal task is fatal where a cluster would retry.  Doubling the
+    heap one corpus-doubling BEFORE the measured boundary keeps margin:
+    minhash >=40M docs -> 32g, simhash >=80M docs -> 32g."""
     if stage == "minhash_lsh_pairs" and "SPARK_MINHASH_MEM" in os.environ:
         return os.environ["SPARK_MINHASH_MEM"]
-    return os.environ.get("SPARK_DRIVER_MEM", "16g")
+    base = os.environ.get("SPARK_DRIVER_MEM", "16g")
+    if base == "16g":  # scale the default; an explicit override wins
+        if stage == "minhash_lsh_pairs" and docs >= 40_000_000:
+            return "32g"
+        if stage == "simhash_pairs" and docs >= 80_000_000:
+            return "32g"
+    return base
 
 
 def _scratch_bytes() -> int:
