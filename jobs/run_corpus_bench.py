@@ -318,7 +318,14 @@ def run_orchestrated(args) -> dict:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     res: dict = {"docs": args.docs, "vecs": args.vecs, "isolated": True,
                  "cpus": int(cpus)}
-    for stage in STAGES:
+    # --only X = the heap/codec probe shape: one fresh spark-submit JVM
+    # running exactly one measured stage (gen is prepended — idempotent,
+    # it no-ops on an existing _SUCCESS corpus).  This is the invocation
+    # every A/B in BENCH/BASELINE.md's heap-marginality tables uses,
+    # combined with SPARK_MINHASH_MEM / SPARK_DRIVER_MEM and
+    # OSMQT_STAGE_CONF (e.g. spark.io.compression.codec=zstd).
+    stages = ["gen", args.only] if args.only else STAGES
+    for stage in stages:
         mem = _stage_mem(stage, args.docs)
         cmd = [
             _spark_submit_bin(), "--master", f"local[{cpus}]",
@@ -405,6 +412,10 @@ def main() -> None:
                          "~4 vectors/bucket: round(log2(vecs/4))")
     ap.add_argument("--stage", choices=STAGES, default=None,
                     help="run ONE stage in this process (fresh JVM)")
+    ap.add_argument("--only", choices=STAGES, default=None,
+                    help="orchestrate ONE stage (gen prepended) in the "
+                         "fresh-spark-submit-JVM probe shape; honors "
+                         "SPARK_*_MEM + OSMQT_STAGE_CONF")
     ap.add_argument("--shared-jvm", action="store_true",
                     help="legacy all-stages-in-one-JVM mode (A/B baseline)")
     args = ap.parse_args()
@@ -412,7 +423,14 @@ def main() -> None:
     if args.stage:
         run_stage(args)
         return
+    if args.only and args.shared_jvm:
+        ap.error("--only is an orchestrated (fresh-JVM) probe shape; "
+                 "it has no meaning with --shared-jvm")
     res = run_shared_jvm(args) if args.shared_jvm else run_orchestrated(args)
+
+    if args.only:  # single-stage probe: no cross-stage planted checks
+        print("RESULT " + json.dumps(res))
+        return
 
     # planted-set recall: generators plant exact dups at docs/10 and
     # embedding near-dup pairs at vecs/7 deterministically.  minhash
