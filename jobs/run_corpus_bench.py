@@ -270,7 +270,20 @@ def _stage_mem(stage: str, docs: int) -> str:
     OOM itself.  Local mode runs spark.task.maxFailures=1, so one
     marginal task is fatal where a cluster would retry.  Doubling the
     heap one corpus-doubling BEFORE the measured boundary keeps margin:
-    minhash >=40M docs -> 32g, simhash >=80M docs -> 32g."""
+    minhash >=40M docs -> 32g, simhash >=80M docs -> 32g.
+
+    The doubling policy has a CEILING: the heap competes with the OS
+    page cache for the shuffle working set, which is heap-independent
+    (80M minhash peak scratch 57.3GB at 64g vs 58.1GB at 32g).  The
+    same-window 80M A/B measured 64g 1.83x WORSE than 32g (2652.1s vs
+    1447.1s, bit-identical pairs) because beside a 64g JVM the ~71GB
+    scratch+corpus working set no longer fits page cache — at 32g the
+    whole pass did 0.37GB of actual storage reads and cancelled 51% of
+    its shuffle writes before they hit the platter (/proc/<jvm>/io).
+    So: grow the heap only on OOM evidence (the exit-52 signature
+    above), never by extrapolation; prefer shrinking shuffle bytes
+    (zstd codec, hashed keys) first.  BENCH/BASELINE.md "80M heap
+    inversion" has the full table."""
     if stage == "minhash_lsh_pairs" and "SPARK_MINHASH_MEM" in os.environ:
         return os.environ["SPARK_MINHASH_MEM"]
     base = os.environ.get("SPARK_DRIVER_MEM", "16g")
