@@ -283,7 +283,17 @@ def _stage_mem(stage: str, docs: int) -> str:
     So: grow the heap only on OOM evidence (the exit-52 signature
     above), never by extrapolation; prefer shrinking shuffle bytes
     (zstd codec, hashed keys) first.  BENCH/BASELINE.md "80M heap
-    inversion" has the full table."""
+    inversion" has the full table.
+
+    Disk exhaustion has its OWN distinct signature — do not treat it as
+    heap: `SparkOutOfMemoryError: [SPILL_OUT_OF_MEMORY] ... No space
+    left on device` in an executor task (the spill WRITE failed, not an
+    allocation).  Measured at simhash 160M docs / 32g / zstd: the SMJ
+    sort spill outgrew the box's 55GB free scratch (peak 56.8GB
+    observed at death, /proc io read_bytes still 0 — page cache was
+    fine; the platter simply filled).  A bigger heap would not have
+    saved it and a cluster absorbs it by scaling executors-with-disks
+    alongside the data."""
     if stage == "minhash_lsh_pairs" and "SPARK_MINHASH_MEM" in os.environ:
         return os.environ["SPARK_MINHASH_MEM"]
     base = os.environ.get("SPARK_DRIVER_MEM", "16g")
