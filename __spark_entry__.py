@@ -4,9 +4,10 @@ entry()      — flagship: calc_qts point-key assignment + depth-10 tile
                counts over derived points at sf0.001 (the reference's
                run_calcqts → sort_blocks chain, SURVEY.md §2.7/§3.3).
 queries()    — one entry per implemented SURVEY.md §2 operator.
-oracle_sql() — DuckDB twins (driver_oracles.py); the one remaining
-               engine-only op (a4_num_blocks — genuinely partition-layout-
-               dependent) omits the oracle on purpose → rows-only check.
+oracle_sql() — DuckDB twins (driver_oracles.py) for ALL 50 gates.  The
+               one formerly engine-only op (a4_num_blocks) now emits
+               layout-independent invariant booleans so its twin can
+               hash-pin it (see driver_queries.q_a4_num_blocks).
 """
 
 from __future__ import annotations

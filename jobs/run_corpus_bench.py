@@ -347,7 +347,15 @@ def run_orchestrated(args) -> dict:
     # every A/B in BENCH/BASELINE.md's heap-marginality tables uses,
     # combined with SPARK_MINHASH_MEM / SPARK_DRIVER_MEM and
     # OSMQT_STAGE_CONF (e.g. spark.io.compression.codec=zstd).
-    stages = ["gen", args.only] if args.only else STAGES
+    # --only gen is a valid probe (time corpus generation alone) — don't
+    # prepend a second gen pass, and DO record its timing below since it
+    # is the only stage the probe ran.
+    if args.only == "gen":
+        stages = ["gen"]
+    elif args.only:
+        stages = ["gen", args.only]
+    else:
+        stages = STAGES
     for stage in stages:
         mem = _stage_mem(stage, args.docs)
         cmd = [
@@ -389,7 +397,7 @@ def run_orchestrated(args) -> dict:
         # sec = the stage's own measured query wall (comparable with the
         # standalone numbers); proc_sec adds JVM startup + data load
         out["proc_sec"] = proc_sec
-        if stage != "gen":
+        if stage != "gen" or stages == ["gen"]:
             res[stage] = out
         print(f"PASS {stage} done {out}", flush=True)
         _wait_scratch_stable()
@@ -443,6 +451,9 @@ def main() -> None:
                     help="legacy all-stages-in-one-JVM mode (A/B baseline)")
     args = ap.parse_args()
 
+    if args.stage and args.only:
+        ap.error("--stage runs ONE stage in-process; --only orchestrates "
+                 "— they are mutually exclusive")
     if args.stage:
         run_stage(args)
         return

@@ -119,6 +119,18 @@ SELECT event_type, cast(count(*) as bigint) AS num,
        cast(max(event_id) as bigint) AS max_id
 FROM events GROUP BY event_type"""
 
+    # A4: the oracle cannot see Spark's partition layout, so it derives
+    # the same layout-independent booleans the engine computes from its
+    # real plan (driver_queries.q_a4_num_blocks) from the one fact SQL
+    # shares: the table is non-empty.  A partition-enumeration regression
+    # engine-side (0 blocks / phantom empty blocks / splits past the
+    # file-size ceiling) flips an engine boolean and fails the hash.
+    o["a4_num_blocks"] = """
+SELECT (count(*) >= 1) AS num_blocks_ge_1,
+       (count(*) >= 1) AS num_blocks_le_rows,
+       (count(*) >= 1) AS num_blocks_le_split_ceiling
+FROM lineitem"""
+
     o["a2_refs_stats"] = """
 SELECT cast(count(*) as bigint) AS num,
        cast(sum(len(refs)) as bigint) AS num_refs,

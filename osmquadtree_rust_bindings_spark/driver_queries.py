@@ -177,10 +177,51 @@ def q_a3_members_stats(spark, sf_dir):
 
 
 def q_a4_num_blocks(spark, sf_dir):
-    # A4 num_blocks: physical scan partition count (engine-only — partition
-    # layout has no SQL twin; rows-only gate pins shape + non-emptiness)
+    """A4 num_blocks (reference ``src/count.rs:352-355``): the raw
+    partition count has no SQL twin (it depends on Spark's file-split
+    packing), so the gate pins LAYOUT-INDEPENDENT invariants of it as a
+    single derived row the DuckDB oracle can hash-match:
+
+    - ``num_blocks_ge_1``: the scan produced at least one block;
+    - ``num_blocks_le_rows``: every counted block held >=1 row (the
+      distinct-partition-id formulation only sees non-empty partitions);
+    - ``num_blocks_le_split_ceiling``: num_blocks <= sum over input files
+      of ceil(file_bytes / spark.sql.files.maxPartitionBytes) — Spark
+      packs splits into partitions, never the reverse, so the split count
+      is a hard ceiling computed here from the real file listing + live
+      session conf (not a constant).
+
+    Engine-side all three are computed from the actual plan; the oracle
+    derives the same booleans from the one fact SQL can see (the table is
+    non-empty).  A regression in partition enumeration (0 blocks, empty
+    phantom blocks, or splits multiplying past the ceiling) flips a
+    boolean and fails the hash."""
+    import math
+    import os as _os
+
     li = _read(spark, sf_dir, "lineitem")
-    return CNT.num_blocks(li)
+    path = _os.path.join(sf_dir, "lineitem.parquet")
+    if _os.path.isdir(path):
+        sizes = [_os.path.getsize(_os.path.join(path, f))
+                 for f in _os.listdir(path) if f.endswith(".parquet")]
+    else:
+        sizes = [_os.path.getsize(path)]
+    raw = spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
+    units = {"b": 1, "k": 1 << 10, "m": 1 << 20, "g": 1 << 30}
+    s = raw.strip().lower()
+    mult = 1
+    if s and s[-1] in units:
+        mult, s = units[s[-1]], s[:-1]
+    max_pb = int(s) * mult
+    ceiling = sum(math.ceil(sz / max_pb) for sz in sizes)
+    nb = CNT.num_blocks(li)
+    rows = li.agg(F.count(F.lit(1)).alias("n_rows"))
+    return nb.crossJoin(rows).select(
+        (F.col("num_blocks") >= 1).alias("num_blocks_ge_1"),
+        (F.col("num_blocks") <= F.col("n_rows")).alias("num_blocks_le_rows"),
+        (F.col("num_blocks") <= F.lit(ceiling))
+        .alias("num_blocks_le_split_ceiling"),
+    )
 
 
 def q_x_qt_common_rollup(spark, sf_dir):

@@ -94,7 +94,7 @@ def assemble_multipolygons(members: DataFrame, ways: DataFrame,
             F.struct("pos", "node_id", "lon", "lat"))).alias("pts"))
     )
 
-    def fn(key, pdf):
+    def fn(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         rel_id = int(key[0])
         out = []
         for role in sorted(pdf.role.unique()):

@@ -227,7 +227,7 @@ def cosine_near_dup_pairs_blocked(embeddings: DataFrame,
     num2 = threshold_num * threshold_num
     den2 = threshold_den * threshold_den
 
-    def fn(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    def fn(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         g = int(key[0])
         r, c = g // B, g % B
         left = pdf[pdf["blk"] == r]

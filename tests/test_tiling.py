@@ -71,7 +71,7 @@ def test_qt_common_agg_matches_kernel(calc, oracle):
         qts = grp.qt.to_numpy(np.int64)
         lca = qts[0]
         for q in qts[1:]:
-            lca = int(K.qt_common(np.int64(lca), np.int64(q)))
+            lca = K.qt_common(np.int64(lca), np.int64(q)).item()
         exp_rows.append((cell, lca))
     exp = pd.DataFrame(exp_rows, columns=["cell", "lca"]) \
         .sort_values("cell").reset_index(drop=True)
