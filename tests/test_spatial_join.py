@@ -358,3 +358,119 @@ def test_k_ring_covers_block():
     ring = C.k_ring(cell, 2, 12)
     ids = ring[ring >= 0]
     assert len(np.unique(ids)) == 25
+
+
+# ---- hot-cell skew fixtures (SURVEY §7 risk 3; VERDICT r04 item 3) ----
+# A dense city block at 100TB scale = 10^5+ queries stacked over ONE
+# depth-8 cover cell: the cell_cov equi-join key is maximally skewed.
+# These pin (a) batch output == small-form output on exactly that shape,
+# and (b) that AQE's skew-join split actually engages on the hot cell
+# once the cover stream is too big to broadcast (forced here by conf so
+# the mechanism is exercised at test scale; thresholds are the knobs a
+# 100TB deployment would leave at their defaults of 256MB/64MB).
+
+from contextlib import contextmanager
+
+
+@contextmanager
+def _forced_shuffle_skew(spark):
+    """Disable broadcast + shrink AQE skew thresholds so the test-scale
+    hot cell takes the same code path a cluster-scale one would."""
+    keys = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes":
+            "65536",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16384",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+    }
+    saved = {k: spark.conf.get(k) for k in keys}
+    for k, v in keys.items():
+        spark.conf.set(k, v)
+    try:
+        yield
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+
+
+def _executed_plan(df) -> str:
+    """Final adaptive plan — only meaningful AFTER collect() on df."""
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _hot_boxes(images_pdf, nb: int = 100_000) -> pd.DataFrame:
+    """nb boxes all overlapping the depth-8 cell of one anchor point."""
+    rng = np.random.default_rng(7)
+    c = images_pdf.iloc[0]
+    w = rng.integers(10_000, 2_500_000, nb)
+    h = rng.integers(10_000, 2_500_000, nb)
+    jx = rng.integers(-100_000, 100_000, nb)
+    jy = rng.integers(-100_000, 100_000, nb)
+    return pd.DataFrame({
+        "qid": np.arange(nb),
+        "minlon": int(c.lon) + jx - w, "minlat": int(c.lat) + jy - h,
+        "maxlon": int(c.lon) + jx + w, "maxlat": int(c.lat) + jy + h,
+    })
+
+
+def test_bbox_join_batch_hot_cell_skew(spark, calc, images_pdf):
+    boxes = _hot_boxes(images_pdf)
+    # the stack really is one hot cell (>95% of cover rows on one key)
+    cov = SJ._cover_stream(
+        spark.createDataFrame(boxes), "qid", SJ.COVER_DEPTH)
+    counts = cov.groupBy("cell_cov").count().toPandas()["count"]
+    assert counts.max() / counts.sum() > 0.95
+
+    small = SJ.bbox_join(calc, boxes, batch_threshold=10**9).toPandas() \
+        .sort_values(["qid", "image_id"]).reset_index(drop=True)
+    assert len(small) > 0
+    with _forced_shuffle_skew(spark):
+        batch = SJ.bbox_join_batch(
+            calc, spark.createDataFrame(boxes))
+        got = pd.DataFrame(
+            batch.collect(), columns=["qid", "image_id"]) \
+            .sort_values(["qid", "image_id"]).reset_index(drop=True)
+        plan = _executed_plan(batch)
+    pd.testing.assert_frame_equal(got, small, check_dtype=False)
+    assert "isFinalPlan=true" in plan
+    assert "skew=true" in plan, "AQE skew split did not engage"
+    assert "skewed" in plan  # AQEShuffleRead ... skewed
+
+
+def test_pip_join_batch_hot_polygon_skew(spark, calc, images_pdf):
+    # 2*10^4 small polygons stacked around one anchor point: the
+    # candidate equi-join on cell_cov is hot on that point's cell
+    rng = np.random.default_rng(11)
+    c = images_pdf.iloc[0]
+    rows = []
+    for j in range(20_000):
+        nv = int(rng.integers(4, 9))
+        radius = float(rng.uniform(0.001, 0.05)) * 1e7
+        cx = int(c.lon) + int(rng.integers(-500_000, 500_000))
+        cy = int(c.lat) + int(rng.integers(-500_000, 500_000))
+        ang = np.sort(rng.uniform(0, 2 * np.pi, nv))
+        vx = np.round(cx + radius * np.cos(ang)).astype(np.int64)
+        vy = np.round(cy + radius * np.sin(ang)).astype(np.int64)
+        rows.append({
+            "poly_id": f"hot{j:06d}",
+            "verts_lon": vx.tolist(), "verts_lat": vy.tolist(),
+            "minlon": int(vx.min()), "minlat": int(vy.min()),
+            "maxlon": int(vx.max()), "maxlat": int(vy.max()),
+        })
+    polys = pd.DataFrame(rows)
+
+    small = SJ.pip_join(calc, polys, batch_threshold=10**9).toPandas() \
+        .sort_values(["poly_id", "image_id"]).reset_index(drop=True)
+    assert len(small) > 0
+    with _forced_shuffle_skew(spark):
+        batch = SJ.pip_join_batch(
+            calc, spark.createDataFrame(polys[
+                ["poly_id", "verts_lon", "verts_lat",
+                 "minlon", "minlat", "maxlon", "maxlat"]]))
+        got = pd.DataFrame(
+            batch.collect(), columns=["poly_id", "image_id"]) \
+            .sort_values(["poly_id", "image_id"]).reset_index(drop=True)
+        plan = _executed_plan(batch)
+    pd.testing.assert_frame_equal(got, small, check_dtype=False)
+    assert "isFinalPlan=true" in plan
+    assert "skew=true" in plan, "AQE skew split did not engage"
