@@ -78,6 +78,24 @@ def _spread_small(df: DataFrame) -> DataFrame:
     return df
 
 
+def _materialize_release(out: DataFrame, held: list[DataFrame]) -> DataFrame:
+    """``cleanup=True`` tail shared by the pair operators: eagerly
+    localCheckpoint the result (computes it once and pins its partitions
+    executor-side, severing lineage to the internal cached streams), then
+    unpersist every internal cache so a long-lived session doesn't
+    accumulate multi-GB band/candidate tables across invocations.  The
+    checkpoint blocks are released by the ContextCleaner when the
+    returned DataFrame is garbage-collected (or explicitly via
+    ``.unpersist()``).  Local checkpoints are not recomputable after
+    executor loss — resumable cluster jobs should keep ``cleanup=False``
+    and own the lifecycle (materialize → ``spark.catalog.clearCache()``),
+    as the corpus bench does."""
+    out = out.localCheckpoint(eager=True)
+    for c in held:
+        c.unpersist()
+    return out
+
+
 def drop_hot_keys(df: DataFrame, key: str, cap: int) -> DataFrame:
     """The shared hot-key guard for every candidate generator (ngram
     shingles, MinHash/banded-LSH buckets, SimHash chunks): drop rows whose
@@ -147,7 +165,8 @@ def gram_set_col(text_col, n: int = 2):
 
 def ngram_jaccard_pairs(df: DataFrame, threshold: float = 0.4,
                         text: str = "text", id_col: str = "doc_id",
-                        n: int = 2, max_df: int | None = None) -> DataFrame:
+                        n: int = 2, max_df: int | None = None,
+                        cleanup: bool = False) -> DataFrame:
     """All-pairs n-gram Jaccard >= threshold via an inverted shingle index.
 
     |A ∩ B| from the self-join of the distinct shingle stream; |A ∪ B| =
@@ -181,7 +200,7 @@ def ngram_jaccard_pairs(df: DataFrame, threshold: float = 0.4,
         .groupBy("id_a", "id_b").agg(F.count(F.lit(1)).alias("inter"))
     )
     thr_num = int(round(threshold * 1000))
-    return (
+    out = (
         inter
         .join(sizes.withColumnRenamed(id_col, "id_a")
               .withColumnRenamed("nsh", "na"), "id_a")
@@ -191,6 +210,7 @@ def ngram_jaccard_pairs(df: DataFrame, threshold: float = 0.4,
         .filter(F.col("inter") * 1000 >= F.lit(thr_num) * F.col("union_sz"))
         .select("id_a", "id_b", "inter", "union_sz")
     )
+    return _materialize_release(out, [sh]) if cleanup else out
 
 
 def _hash_params(num_hashes: int) -> list[tuple[int, int]]:
@@ -318,7 +338,8 @@ def minhash_lsh_pairs(df: DataFrame, num_hashes: int = 16, bands: int = 4,
                       text: str = "text", id_col: str = "doc_id",
                       n: int = 2, verify_threshold: float | None = 0.4,
                       max_bucket: int | None = None,
-                      arrow: bool | None = None) -> DataFrame:
+                      arrow: bool | None = None,
+                      cleanup: bool = False) -> DataFrame:
     """LSH candidate pairs: docs sharing any band bucket.  Buckets are the
     concatenated band slice of the signature (portable string key).  With
     verify_threshold set, candidates are verified with true Jaccard via the
@@ -344,11 +365,14 @@ def minhash_lsh_pairs(df: DataFrame, num_hashes: int = 16, bands: int = 4,
 
     Cache ownership: on the big path the band stream is ``.cache()``d
     (both self-join sides read it) and the candidate table is persisted
-    MEMORY_AND_DISK (verify join + id restriction read it).  The returned
-    DataFrame is lazy, so this function cannot unpersist either; CALLERS
+    MEMORY_AND_DISK (verify join + id restriction read it).  With the
+    default ``cleanup=False`` the returned DataFrame is lazy and CALLERS
     running many invocations in one long-lived session own the cleanup
     (``spark.catalog.clearCache()`` after materializing, as the corpus
-    bench does) or the cached multi-GB streams accumulate."""
+    bench does).  ``cleanup=True`` moves that into the operator: the
+    result is eagerly materialized (localCheckpoint) and every internal
+    cache unpersisted before returning — see
+    :func:`_materialize_release` for the cluster-resume caveat."""
     rows = num_hashes // bands
     # scale-safe when the estimate is unknown: treat as big
     big = (_plan_size_bytes(df) or ARROW_MIN_BYTES) >= ARROW_MIN_BYTES
@@ -384,6 +408,7 @@ def minhash_lsh_pairs(df: DataFrame, num_hashes: int = 16, bands: int = 4,
     # of a bands-way union (which scanned the signature table per band)
     stacked = keyed.select(
         F.col(id_col), F.explode(F.array(*bucket_cols)).alias("bucket"))
+    held: list[DataFrame] = []  # internal caches for cleanup=True
     if big:
         # both self-join sides + the candidate-id restriction read this
         # one pass; below the threshold recomputation is cheaper than the
@@ -394,6 +419,7 @@ def minhash_lsh_pairs(df: DataFrame, num_hashes: int = 16, bands: int = 4,
             stacked = stacked.persist(StorageLevel.DISK_ONLY)
         else:
             stacked = stacked.cache()
+        held.append(stacked)
     if max_bucket is not None:
         stacked = drop_hot_keys(stacked, "bucket", max_bucket)
     a = stacked.select(F.col(id_col).alias("id_a"), "bucket")
@@ -403,7 +429,7 @@ def minhash_lsh_pairs(df: DataFrame, num_hashes: int = 16, bands: int = 4,
         .select("id_a", "id_b").distinct()
     )
     if verify_threshold is None:
-        return cand
+        return _materialize_release(cand, held) if cleanup else cand
     if big:
         # the candidate table is read twice below (verify join + the id
         # restriction); persisting it stops the bucket self-join from
@@ -411,6 +437,7 @@ def minhash_lsh_pairs(df: DataFrame, num_hashes: int = 16, bands: int = 4,
         # is hot-capped at O(N x max_bucket x bands) pairs, spill-safe.
         from pyspark import StorageLevel
         cand = cand.persist(StorageLevel.MEMORY_AND_DISK)
+        held.append(cand)
     # verify ONLY the candidates (never the all-pairs join): per-doc
     # shingle-SET arrays + array_intersect, so the verify join carries
     # O(candidates) rows instead of the O(candidates x doc_len) postings
@@ -457,7 +484,7 @@ def minhash_lsh_pairs(df: DataFrame, num_hashes: int = 16, bands: int = 4,
     sa = sets.select(F.col(id_col).alias("id_a"), F.col("__ss").alias("__sa"))
     sb = sets.select(F.col(id_col).alias("id_b"), F.col("__ss").alias("__sb"))
     thr_num = int(round(verify_threshold * 1000))
-    return (
+    out = (
         cand.join(sa, "id_a").join(sb, "id_b")
         .withColumn("inter", F.size(F.array_intersect("__sa", "__sb")))
         .withColumn("union_sz",
@@ -465,6 +492,7 @@ def minhash_lsh_pairs(df: DataFrame, num_hashes: int = 16, bands: int = 4,
         .filter(F.col("inter") * 1000 >= F.lit(thr_num) * F.col("union_sz"))
         .select("id_a", "id_b", "inter", "union_sz")
     )
+    return _materialize_release(out, held) if cleanup else out
 
 
 def simhash_signatures(df: DataFrame, bits: int = 16, text: str = "text",
@@ -491,7 +519,8 @@ def simhash_signatures(df: DataFrame, bits: int = 16, text: str = "text",
 def simhash_dup_pairs(df: DataFrame, bits: int = 16, max_hamming: int = 2,
                       text: str = "text", id_col: str = "doc_id",
                       max_bucket: int | None = None,
-                      chunks: int | None = None) -> DataFrame:
+                      chunks: int | None = None,
+                      cleanup: bool = False) -> DataFrame:
     """Near-dup pairs by SimHash: band the signature into ``chunks`` pieces
     (default max_hamming+1) and equi-join on chunk-combination keys, verify
     hamming via bit_count.  Output: (id_a, id_b, hamming).
@@ -567,10 +596,11 @@ def simhash_dup_pairs(df: DataFrame, bits: int = 16, max_hamming: int = 2,
             .select("id_a", "id_b").distinct())
     sa = sig.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("ha"))
     sb = sig.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("hb"))
-    return (
+    out = (
         cand.join(sa, "id_a").join(sb, "id_b")
         .withColumn("hamming", F.bit_count(
             F.col("ha").bitwiseXOR(F.col("hb"))))
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+    return _materialize_release(out, [sig]) if cleanup else out

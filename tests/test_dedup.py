@@ -126,3 +126,53 @@ def test_minhash_default_is_size_adaptive(spark):
                                  verify_threshold=None)
     assert "mapInPandas" not in small._jdf.queryExecution().analyzed().toString()
     assert (DD._plan_size_bytes(docs) or 0) < DD.ARROW_MIN_BYTES
+
+
+def _sql_cache_empty(spark) -> bool:
+    return spark._jsparkSession.sharedState().cacheManager().isEmpty()
+
+
+def test_cleanup_releases_caches(spark, monkeypatch):
+    # cleanup=True must (a) return the same pairs as the default path and
+    # (b) leave the SQL cache manager EMPTY — the internal band/candidate/
+    # shingle caches are the operator's own, and a long-lived session
+    # running many invocations must not accumulate them (VERDICT r04
+    # item 4; the lifecycle note in minhash_lsh_pairs' docstring).
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    spark.catalog.clearCache()
+
+    # minhash big path (both caches engage): force via the size gate
+    monkeypatch.setattr(DD, "ARROW_MIN_BYTES", 0)
+    kw = dict(num_hashes=8, bands=4, verify_threshold=0.2)
+    base = sorted(map(tuple, DD.minhash_lsh_pairs(docs, **kw).collect()))
+    assert not _sql_cache_empty(spark)  # default path: caches linger
+    spark.catalog.clearCache()
+    got = sorted(map(tuple,
+                     DD.minhash_lsh_pairs(docs, cleanup=True, **kw)
+                     .collect()))
+    assert got == base and len(got) > 0
+    assert _sql_cache_empty(spark)
+
+    # candidates-only return point (verify_threshold=None)
+    DD.minhash_lsh_pairs(docs, num_hashes=8, bands=4,
+                         verify_threshold=None, cleanup=True).collect()
+    assert _sql_cache_empty(spark)
+    monkeypatch.setattr(DD, "ARROW_MIN_BYTES", 64 * 1024 * 1024)
+
+    # ngram (shingle-stream cache is unconditional)
+    base = sorted(map(tuple, DD.ngram_jaccard_pairs(
+        docs, threshold=0.2).collect()))
+    spark.catalog.clearCache()
+    got = sorted(map(tuple, DD.ngram_jaccard_pairs(
+        docs, threshold=0.2, cleanup=True).collect()))
+    assert got == base and len(got) > 0
+    assert _sql_cache_empty(spark)
+
+    # simhash (signature cache is unconditional)
+    base = sorted(map(tuple, DD.simhash_dup_pairs(
+        docs, bits=16, max_hamming=3).collect()))
+    spark.catalog.clearCache()
+    got = sorted(map(tuple, DD.simhash_dup_pairs(
+        docs, bits=16, max_hamming=3, cleanup=True).collect()))
+    assert got == base and len(got) > 0
+    assert _sql_cache_empty(spark)
