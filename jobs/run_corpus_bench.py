@@ -210,24 +210,64 @@ def _get_stage_spark(args):
     return spark
 
 
+class _LineProgress:
+    """Line-oriented ProgressPercent for subprocess logs: one PROGRESS
+    line per >=5-point advance on stderr (flushed), instead of the
+    default \\r bar that pipes would swallow."""
+
+    def __init__(self, message: str):
+        self.message = message
+        self._last = -5.0
+
+    def set_message(self, new_message: str) -> None:
+        self.message = new_message
+
+    def progress_percent(self, percent: float) -> None:
+        if percent - self._last >= 5.0 or percent >= 100.0 > self._last:
+            self._last = percent
+            print(f"PROGRESS {self.message} {percent:5.1f}%",
+                  file=sys.stderr, flush=True)
+
+    def finish(self) -> None:
+        print(f"PROGRESS {self.message} done", file=sys.stderr, flush=True)
+
+
+def _line_messenger():
+    """Messenger whose percent sink is the line-oriented one above
+    (reference operator UX, __init__.py:68-94, adapted to logs)."""
+    from osmquadtree_rust_bindings_spark import progress as PR
+
+    m = PR.Messenger()
+    m.start_progress_percent = _LineProgress
+    return m
+
+
 def run_stage(args) -> None:
     """Run ONE stage in THIS process (fresh JVM when invoked per-stage by
-    the orchestrator / spark-submit) and print STAGE_RESULT json."""
+    the orchestrator / spark-submit) and print STAGE_RESULT json.  Work
+    runs under the Messenger/StatusTracker bridge (progress.job_progress)
+    so long soaks emit live PROGRESS lines the orchestrator forwards."""
+    from osmquadtree_rust_bindings_spark.progress import job_progress
+
     spark = _get_stage_spark(args)
+    msngr = _line_messenger()
     if args.stage == "gen":
         t0 = time.time()
         if not os.path.exists(DOCS_PATH + f"_{args.docs}/_SUCCESS"):
-            gen_documents(spark, args.docs).write.mode("overwrite") \
-                .parquet(DOCS_PATH + f"_{args.docs}")
+            with job_progress(spark, f"gen documents {args.docs}", msngr):
+                gen_documents(spark, args.docs).write.mode("overwrite") \
+                    .parquet(DOCS_PATH + f"_{args.docs}")
         if not os.path.exists(VECS_PATH + f"_{args.vecs}/_SUCCESS"):
-            gen_embeddings(spark, args.vecs).write.mode("overwrite") \
-                .parquet(VECS_PATH + f"_{args.vecs}")
+            with job_progress(spark, f"gen embeddings {args.vecs}", msngr):
+                gen_embeddings(spark, args.vecs).write.mode("overwrite") \
+                    .parquet(VECS_PATH + f"_{args.vecs}")
         out = {"stage": "gen", "rows": args.docs + args.vecs,
                "sec": round(time.time() - t0, 2)}
     else:
         df = _stage_df(spark, args.stage, args)
         t0 = time.time()
-        n = df.count()
+        with job_progress(spark, f"{args.stage} {args.docs}", msngr):
+            n = df.count()
         out = {"stage": args.stage, "rows": n,
                "sec": round(time.time() - t0, 2)}
     print("STAGE_RESULT " + json.dumps(out), flush=True)
@@ -385,14 +425,42 @@ def run_orchestrated(args) -> dict:
         t0 = time.time()
         env = dict(os.environ)
         env["SPARK_DRIVER_MEM"] = mem  # get_spark mirror (harmless here)
-        r = subprocess.run(cmd, capture_output=True, text=True, env=env)
+        # Popen + stderr pump instead of capture_output: the stage's
+        # Messenger bridge emits PROGRESS lines on stderr, which are
+        # forwarded live (the soak's stage UX); everything else on
+        # stderr is ring-buffered for the failure message.
+        import collections
+        import threading
+
+        p = subprocess.Popen(cmd, stdout=subprocess.PIPE,
+                             stderr=subprocess.PIPE, text=True, env=env)
+        err_tail: collections.deque[str] = collections.deque(maxlen=400)
+
+        def _pump(pipe=p.stderr):
+            for ln in pipe:
+                err_tail.append(ln)
+
+        th = threading.Thread(target=_pump, daemon=True)
+        th.start()
+        # spark-submit merges the python app's stderr onto its stdout, so
+        # the PROGRESS lines arrive here — forward them live (spark's \r
+        # console bar can share a \n-line with the marker; take the text
+        # from the last marker on) and keep everything for STAGE_RESULT.
+        out_lines = []
+        for ln in p.stdout:
+            out_lines.append(ln)
+            if "PROGRESS " in ln:
+                print(ln[ln.rindex("PROGRESS "):], end="", flush=True)
+        stdout = "".join(out_lines)
+        rc = p.wait()
+        th.join(timeout=10)
         proc_sec = round(time.time() - t0, 2)
-        lines = [ln for ln in r.stdout.splitlines()
+        lines = [ln for ln in stdout.splitlines()
                  if ln.startswith("STAGE_RESULT ")]
-        if r.returncode != 0 or not lines:
+        if rc != 0 or not lines:
             raise RuntimeError(
-                f"stage {stage} failed rc={r.returncode}:\n"
-                f"{r.stdout[-2000:]}\n{r.stderr[-4000:]}")
+                f"stage {stage} failed rc={rc}:\n"
+                f"{stdout[-2000:]}\n{''.join(err_tail)[-4000:]}")
         out = json.loads(lines[-1][len("STAGE_RESULT "):])
         # sec = the stage's own measured query wall (comparable with the
         # standalone numbers); proc_sec adds JVM startup + data load
