@@ -102,6 +102,16 @@ def get_spark(master: str | None = None, app_name: str = "osmquadtree-spark",
         .config("spark.ui.enabled", "false")
     )
     if shuffle_partitions is None:
+        envp = os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS")
+        if envp:
+            # probe override: boundary probes tune task-slot count and
+            # shuffle width INDEPENDENTLY (e.g. local[16] slots with 256
+            # partitions keeps SHJ build relations under the conversion
+            # threshold while halving concurrent builds) — a builder
+            # .config here would win over spark-submit --conf, so the
+            # env var is the deterministic channel
+            shuffle_partitions = int(envp)
+    if shuffle_partitions is None:
         # Spark's 200 default is a legacy constant: on this box it turns
         # every small shuffle into 200 ~10ms tasks (measured 4.5x on the
         # minhash pipeline, whose cached intermediates FREEZE the 200
