@@ -90,7 +90,7 @@ def test_round_is_parent():
     qt = K.calcqts_point(np.array([123456789]), np.array([456789012]), 18)
     for nd in (0, 5, 17, 18):
         r = K.qt_round(qt, nd)
-        assert int(K.qt_depth(r)) == nd
+        assert int(K.qt_depth(r)[0]) == nd
         assert bool(K.qt_is_parent(r, qt)[0])
     assert not bool(K.qt_is_parent(qt, K.qt_round(qt, 3))[0])
 
@@ -138,7 +138,7 @@ def test_bbox_straddling_box_stops_early():
     # the overhang exceeds 5% of the cell size, then stops.
     qt = int(K.calcqts_bbox(np.array([-100000]), np.array([10]),
                             np.array([100000]), np.array([200010]))[0])
-    d = int(K.qt_depth(np.array([qt])))
+    d = int(K.qt_depth(np.array([qt]))[0])
     assert 0 < d < 18
     # a huge box -> root
     qt2 = int(K.calcqts_bbox(np.array([-1700000000]), np.array([-800000000]),
@@ -229,7 +229,7 @@ def test_prop_string_roundtrip(qt):
 @given(qt_keys(), st.integers(0, 18))
 def test_prop_round_monotone_parent(qt, nd):
     r = int(K.qt_round(np.array([qt]), nd)[0])
-    assert int(K.qt_depth(np.array([r]))) == min(nd, qt & 31)
+    assert int(K.qt_depth(np.array([r]))[0]) == min(nd, qt & 31)
     assert bool(K.qt_is_parent(np.array([r]), np.array([qt]))[0])
     assert r <= qt  # parent sorts first (layout property)
 
