@@ -333,7 +333,16 @@ def _stage_mem(stage: str, docs: int) -> str:
     observed at death, /proc io read_bytes still 0 — page cache was
     fine; the platter simply filled).  A bigger heap would not have
     saved it and a cluster absorbs it by scaling executors-with-disks
-    alongside the data."""
+    alongside the data.
+
+    Resolution (round 5): the 160M rung COMPLETES with bounded build
+    concurrency — 16 task slots + 256 shuffle partitions
+    (SPARK_GRAFT_SHUFFLE_PARTITIONS) + SHJ 512m + zstd at 32g — because
+    task-level join memory is the shared execution pool divided by
+    concurrent tasks: 16 x 512MB builds fit where 32 exhausted the
+    pool.  Cap per-executor task slots for the marginal stage instead
+    of growing the heap (corpus.json simhash_160m_bounded_concurrency;
+    BASELINE.md round-5 boundary paragraph)."""
     if stage == "minhash_lsh_pairs" and "SPARK_MINHASH_MEM" in os.environ:
         return os.environ["SPARK_MINHASH_MEM"]
     base = os.environ.get("SPARK_DRIVER_MEM", "16g")
