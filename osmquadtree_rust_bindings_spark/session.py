@@ -65,6 +65,26 @@ def ensure_shipped(spark: SparkSession) -> None:
     _shipped.add(id(sc))
 
 
+def resolve_shuffle_partitions(master: str,
+                               explicit: int | None = None) -> int:
+    """Shuffle-width policy, factored for unit testing: an explicit value
+    wins; then the SPARK_GRAFT_SHUFFLE_PARTITIONS env override (probes
+    tune task slots and shuffle width independently — see get_spark);
+    else max(16, 2 * cores) parsed from the local[N] master (local[*] or
+    unparsable -> os.cpu_count)."""
+    if explicit is not None:
+        return explicit
+    envp = os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS")
+    if envp:
+        return int(envp)
+    try:
+        cores = int(master.split("[")[1].rstrip("]").replace("*", "0"))
+    except (IndexError, ValueError):
+        cores = 0
+    cores = cores or os.cpu_count() or 8
+    return max(16, 2 * cores)
+
+
 def get_spark(master: str | None = None, app_name: str = "osmquadtree-spark",
               shuffle_partitions: int | None = None,
               extra_conf: dict | None = None,
@@ -101,30 +121,22 @@ def get_spark(master: str | None = None, app_name: str = "osmquadtree-spark",
         .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
         .config("spark.ui.enabled", "false")
     )
-    if shuffle_partitions is None:
-        envp = os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS")
-        if envp:
-            # probe override: boundary probes tune task-slot count and
-            # shuffle width INDEPENDENTLY (e.g. local[16] slots with 256
-            # partitions keeps SHJ build relations under the conversion
-            # threshold while halving concurrent builds) — a builder
-            # .config here would win over spark-submit --conf, so the
-            # env var is the deterministic channel
-            shuffle_partitions = int(envp)
-    if shuffle_partitions is None:
-        # Spark's 200 default is a legacy constant: on this box it turns
-        # every small shuffle into 200 ~10ms tasks (measured 4.5x on the
-        # minhash pipeline, whose cached intermediates FREEZE the 200
-        # partitioning — AQE cannot coalesce an InMemoryRelation).  2 x
-        # cores keeps all cores busy with one task wave; on a real
-        # cluster pass shuffle_partitions ~ 2-3 x total executor cores
-        # and let AQE coalesce down / skew-split up from there.
-        try:
-            cores = int(master.split("[")[1].rstrip("]").replace("*", "0"))
-        except (IndexError, ValueError):
-            cores = 0
-        cores = cores or os.cpu_count() or 8
-        shuffle_partitions = max(16, 2 * cores)
+    # Shuffle width (resolve_shuffle_partitions): explicit arg, then the
+    # SPARK_GRAFT_SHUFFLE_PARTITIONS env override — boundary probes tune
+    # task-slot count and shuffle width INDEPENDENTLY (e.g. local[16]
+    # slots with 256 partitions keeps SHJ build relations under the
+    # conversion threshold while halving concurrent builds), and a
+    # builder .config here would win over spark-submit --conf, so the
+    # env var is the deterministic channel — else 2 x cores.  Spark's
+    # 200 default is a legacy constant: on this box it turns every small
+    # shuffle into 200 ~10ms tasks (measured 4.5x on the minhash
+    # pipeline, whose cached intermediates FREEZE the 200 partitioning —
+    # AQE cannot coalesce an InMemoryRelation).  2 x cores keeps all
+    # cores busy with one task wave; on a real cluster pass
+    # shuffle_partitions ~ 2-3 x total executor cores and let AQE
+    # coalesce down / skew-split up from there.
+    shuffle_partitions = resolve_shuffle_partitions(master,
+                                                    shuffle_partitions)
     b = b.config("spark.sql.shuffle.partitions", str(shuffle_partitions))
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)

@@ -50,3 +50,21 @@ def test_spark_submit_pyfiles_pipeline(tmp_path):
     assert out["tiles"] > 0
     assert {s["stage"] for s in out["stages"]} >= {"calcqts", "tileplan",
                                                    "tiled"}
+
+
+def test_resolve_shuffle_partitions(monkeypatch):
+    from osmquadtree_rust_bindings_spark.session import (
+        resolve_shuffle_partitions as rsp,
+    )
+
+    monkeypatch.delenv("SPARK_GRAFT_SHUFFLE_PARTITIONS", raising=False)
+    assert rsp("local[8]") == 16          # max(16, 2*8)
+    assert rsp("local[32]") == 64
+    assert rsp("local[2]", explicit=40) == 40  # explicit wins
+    monkeypatch.setenv("SPARK_GRAFT_SHUFFLE_PARTITIONS", "256")
+    assert rsp("local[16]") == 256        # env overrides the default
+    assert rsp("local[16]", explicit=8) == 8   # but not an explicit arg
+    monkeypatch.delenv("SPARK_GRAFT_SHUFFLE_PARTITIONS")
+    import os as _os
+    assert rsp("local[*]") == max(16, 2 * (_os.cpu_count() or 8))
+    assert rsp("not-a-master") == max(16, 2 * (_os.cpu_count() or 8))
