@@ -866,11 +866,27 @@ _X4_PREFIX = int(np.asarray(_K.qt_from_cell(17, 11, 5)))
 
 
 def q_x4_prefix_range_count(spark, sf_dir):
-    # F6/§4 partition pruning: descendant-of-prefix as a contiguous i64
-    # BETWEEN range (pushes to parquet min/max stats)
+    """F6/§4 partition pruning: descendant-of-prefix as a contiguous i64
+    BETWEEN range on the STORED qt key of a materialized qts product
+    (rule 4 — the reference's ``-qts.pbf`` shape), so the predicate
+    reaches the parquet scan as PushedFilters and prunes via row-group
+    min/max stats.  This is the 100TB shape AND the codegen-safe one:
+    filtering the COMPUTED qt expression instead let predicate
+    pushdown-through-project substitute the 18-level descent into the
+    scan filter twice (``between`` references its operand once per
+    bound), blowing janino's hard 64KB whole-stage method limit — the
+    entire plan then silently ran interpreted (0 WholeStageCodegen
+    spans, 4.2s for a 60k-row agg; rule 2's failure mode arriving via
+    the optimizer rather than projection collapse)."""
+    import os as _os
+    import tempfile
+
     lo, hi = sqlgen.qt_key_range(_X4_PREFIX)
-    pts = _pts_with_qt(spark, sf_dir)
-    return pts.filter(F.col("qt_point").between(lo, hi)).agg(
+    path = _os.path.join(tempfile.mkdtemp(prefix="x4_qts_"), "qts")
+    _pts_with_qt(spark, sf_dir).select("rowkey", "qt_point") \
+        .write.mode("overwrite").parquet(path)
+    qts = spark.read.parquet(path)
+    return qts.filter(F.col("qt_point").between(lo, hi)).agg(
         F.count(F.lit(1)).cast("long").alias("num"),
         F.min("rowkey").cast("long").alias("min_id"),
         F.max("rowkey").cast("long").alias("max_id"))
